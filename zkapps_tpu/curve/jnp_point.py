@@ -1,0 +1,164 @@
+"""Batched G1 point arithmetic on TPU: branchless complete addition.
+
+Points are homogeneous projective (X:Y:Z) triples of Fq limb vectors, shape
+(..., 3, 16) uint32 in Montgomery form; the identity is (0:1:0).  Addition
+uses the Renes-Costello-Batina 2015 complete formulas for j-invariant-0
+curves (Algorithm 7 / 9 with a=0, b3=3*b=9): exception-free — the same
+instruction sequence handles P+Q, P+P, P+0, 0+Q and P+(-P) — which is exactly
+what a SIMD machine wants (no data-dependent branches, SURVEY.md §7 hard
+part 3).
+
+Cost: add = 12 mul + 2 small-const mul + 13 add/sub over Fq; double = 7 mul.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.jnp_ops import FQ, LimbField
+from ..fields.limbs import N_LIMBS
+from .host import G1
+
+B3 = 9  # 3*b for y^2 = x^3 + 3
+
+
+class JnpG1:
+    """Namespace of batched G1 projective ops over the Fq limb field."""
+
+    def __init__(self, field: LimbField = FQ):
+        self.f = field
+
+    # -- encode / decode -------------------------------------------------
+    def encode(self, points: list[G1]) -> jnp.ndarray:
+        """Host affine points -> (n, 3, 16) projective Montgomery."""
+        xs, ys, zs = [], [], []
+        for pt in points:
+            if pt.is_identity:
+                xs.append(0), ys.append(1), zs.append(0)
+            else:
+                xs.append(pt.x), ys.append(pt.y), zs.append(1)
+        return jnp.stack(
+            [self.f.encode(xs), self.f.encode(ys), self.f.encode(zs)], axis=-2
+        )
+
+    def decode(self, arr) -> list[G1]:
+        """(..., 3, 16) projective Montgomery -> host affine points."""
+        arr = np.asarray(arr).reshape(-1, 3, N_LIMBS)
+        xs = self.f.decode(arr[:, 0])
+        ys = self.f.decode(arr[:, 1])
+        zs = self.f.decode(arr[:, 2])
+        out = []
+        p = self.f.p
+        for x, y, z in zip(xs, ys, zs):
+            if z == 0:
+                out.append(G1.identity())
+            else:
+                zinv = pow(z, p - 2, p)
+                out.append(G1(x * zinv % p, y * zinv % p))
+        return out
+
+    def identity_like(self, shape_prefix) -> jnp.ndarray:
+        out = jnp.zeros(tuple(shape_prefix) + (3, N_LIMBS), dtype=jnp.uint32)
+        return out.at[..., 1, :].set(
+            jnp.broadcast_to(self.f.one_mont, tuple(shape_prefix) + (N_LIMBS,))
+        )
+
+    # -- ops -------------------------------------------------------------
+    def add(self, p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+        """Complete addition (RCB15 Algorithm 7, a=0)."""
+        f = self.f
+        X1, Y1, Z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
+        X2, Y2, Z2 = q[..., 0, :], q[..., 1, :], q[..., 2, :]
+
+        t0 = f.mul(X1, X2)
+        t1 = f.mul(Y1, Y2)
+        t2 = f.mul(Z1, Z2)
+        t3 = f.add(X1, Y1)
+        t4 = f.add(X2, Y2)
+        t3 = f.mul(t3, t4)
+        t4 = f.add(t0, t1)
+        t3 = f.sub(t3, t4)
+        t4 = f.add(Y1, Z1)
+        X3 = f.add(Y2, Z2)
+        t4 = f.mul(t4, X3)
+        X3 = f.add(t1, t2)
+        t4 = f.sub(t4, X3)
+        X3 = f.add(X1, Z1)
+        Y3 = f.add(X2, Z2)
+        X3 = f.mul(X3, Y3)
+        Y3 = f.add(t0, t2)
+        Y3 = f.sub(X3, Y3)
+        X3 = f.add(t0, t0)
+        t0 = f.add(X3, t0)
+        t2 = f.mul_small(t2, B3)
+        Z3 = f.add(t1, t2)
+        t1 = f.sub(t1, t2)
+        Y3 = f.mul_small(Y3, B3)
+        X3 = f.mul(t4, Y3)
+        t2 = f.mul(t3, t1)
+        X3 = f.sub(t2, X3)
+        Y3 = f.mul(Y3, t0)
+        t1 = f.mul(t1, Z3)
+        Y3 = f.add(t1, Y3)
+        t0 = f.mul(t0, t3)
+        Z3 = f.mul(Z3, t4)
+        Z3 = f.add(Z3, t0)
+        return jnp.stack([X3, Y3, Z3], axis=-2)
+
+    def double(self, p: jnp.ndarray) -> jnp.ndarray:
+        """Complete doubling (RCB15 Algorithm 9, a=0)."""
+        f = self.f
+        X, Y, Z = p[..., 0, :], p[..., 1, :], p[..., 2, :]
+        t0 = f.mul(Y, Y)
+        Z3 = f.add(t0, t0)
+        Z3 = f.add(Z3, Z3)
+        Z3 = f.add(Z3, Z3)
+        t1 = f.mul(Y, Z)
+        t2 = f.mul(Z, Z)
+        t2 = f.mul_small(t2, B3)
+        X3 = f.mul(t2, Z3)
+        Y3 = f.add(t0, t2)
+        Z3 = f.mul(t1, Z3)
+        t1 = f.add(t2, t2)
+        t2 = f.add(t1, t2)
+        t0 = f.sub(t0, t2)
+        Y3 = f.mul(t0, Y3)
+        Y3 = f.add(X3, Y3)
+        t1 = f.mul(X, Y)
+        X3 = f.mul(t0, t1)
+        X3 = f.add(X3, X3)
+        return jnp.stack([X3, Y3, Z3], axis=-2)
+
+    def neg(self, p: jnp.ndarray) -> jnp.ndarray:
+        return p.at[..., 1, :].set(self.f.neg(p[..., 1, :]))
+
+    def select(self, cond, p, q):
+        """cond ? p : q with cond of batch shape (…,)."""
+        return jnp.where(cond[..., None, None], p, q)
+
+    def cneg(self, cond, p):
+        """Conditionally negate: cond ? -p : p."""
+        return self.select(cond, self.neg(p), p)
+
+    def is_identity(self, p) -> jnp.ndarray:
+        return self.f.is_zero(p[..., 2, :])
+
+    def eq(self, p, q) -> jnp.ndarray:
+        """Projective equality: X1 Z2 == X2 Z1 and Y1 Z2 == Y2 Z1 (and both-identity)."""
+        f = self.f
+        x_eq = f.eq(f.mul(p[..., 0, :], q[..., 2, :]), f.mul(q[..., 0, :], p[..., 2, :]))
+        y_eq = f.eq(f.mul(p[..., 1, :], q[..., 2, :]), f.mul(q[..., 1, :], p[..., 2, :]))
+        both_id = self.is_identity(p) & self.is_identity(q)
+        return (x_eq & y_eq) | both_id
+
+    def to_affine(self, p: jnp.ndarray) -> jnp.ndarray:
+        """Batch-normalize (n, 3, 16) -> (n, 2, 16) affine (identity -> (0,0))."""
+        f = self.f
+        zinv = f.batch_inv(p[..., 2, :])
+        x = f.mul(p[..., 0, :], zinv)
+        y = f.mul(p[..., 1, :], zinv)
+        return jnp.stack([x, y], axis=-2)
+
+
+G1_JNP = JnpG1(FQ)
