@@ -1,0 +1,84 @@
+"""MSM vs host oracle, including degenerate scalar distributions."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zkapps_tpu.curve import G1, G1_JNP, g1_msm
+from zkapps_tpu.fields import FR, Fr
+from zkapps_tpu.msm import msm, signed_digits
+
+random.seed(31)
+G = G1.generator()
+
+
+def digits_value(ids, negs, c):
+    v = 0
+    for w in range(ids.shape[0]):
+        d = int(ids[w]) * (-1 if bool(negs[w]) else 1)
+        v += d << (c * w)
+    return v
+
+
+def test_signed_digits_reconstruct():
+    xs = [0, 1, Fr.p - 1, (1 << 128) - 1] + [random.randrange(Fr.p) for _ in range(8)]
+    arr = FR.encode(xs, mont=False)
+    for c in (8, 13, 16):
+        ids, negs = jax.jit(lambda a: signed_digits(a, c))(arr)
+        ids, negs = np.asarray(ids), np.asarray(negs)
+        half = 1 << (c - 1)
+        assert ids.max() <= half
+        for i, x in enumerate(xs):
+            assert digits_value(ids[:, i], negs[:, i], c) == x
+
+
+def run_msm(points, scalars, c=None):
+    pa = G1_JNP.encode(points)
+    sa = FR.encode(scalars, mont=False)
+    out = msm(pa, sa, c)
+    return G1_JNP.decode(out[None])[0]
+
+
+def test_msm_small_exact():
+    n = 32
+    points = [G.mul(random.randrange(1, Fr.p)) for _ in range(n)]
+    scalars = [random.randrange(Fr.p) for _ in range(n)]
+    # degenerate cases folded in
+    scalars[0] = 0
+    scalars[1] = 1
+    scalars[2] = Fr.p - 1
+    scalars[3] = scalars[4] = scalars[5] = 12345  # duplicates
+    points[6] = G1.identity()
+    want = g1_msm(points, scalars)
+    assert run_msm(points, scalars, c=8) == want
+
+
+def test_msm_all_zero():
+    points = [G.mul(i + 1) for i in range(8)]
+    scalars = [0] * 8
+    assert run_msm(points, scalars, c=8).is_identity
+
+
+def test_msm_single_point():
+    k = random.randrange(Fr.p)
+    assert run_msm([G], [k], c=8) == G.mul(k)
+
+
+def test_msm_heavy_duplicates():
+    """All scalars identical — worst-case bucket occupancy must stay correct."""
+    n = 24
+    points = [G.mul(i + 2) for i in range(n)]
+    scalars = [7777] * n
+    want = g1_msm(points, scalars)
+    assert run_msm(points, scalars, c=8) == want
+
+
+def test_msm_window_sizes_agree():
+    n = 16
+    points = [G.mul(random.randrange(1, Fr.p)) for _ in range(n)]
+    scalars = [random.randrange(Fr.p) for _ in range(n)]
+    want = g1_msm(points, scalars)
+    for c in (8, 12):
+        assert run_msm(points, scalars, c=c) == want
