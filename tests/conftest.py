@@ -12,6 +12,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import pathlib  # noqa: E402
+
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# Persistent compile cache: the limb-arithmetic graphs are expensive to
+# compile; cache them across test runs.
+_cache_dir = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -13,6 +13,7 @@ Cost: add = 12 mul + 2 small-const mul + 13 add/sub over Fq; double = 7 mul.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -151,6 +152,25 @@ class JnpG1:
         y_eq = f.eq(f.mul(p[..., 1, :], q[..., 2, :]), f.mul(q[..., 1, :], p[..., 2, :]))
         both_id = self.is_identity(p) & self.is_identity(q)
         return (x_eq & y_eq) | both_id
+
+    def batch_scalar_mul(self, points: jnp.ndarray, scalars_std: jnp.ndarray) -> jnp.ndarray:
+        """Batched double-and-add: out[i] = scalars[i] * points[i].
+
+        points (n,3,16) projective Montgomery; scalars (n,16) standard form.
+        256 fori iterations of one double + one selected add (branchless).
+        """
+        n = points.shape[0]
+        acc0 = self.identity_like((n,))
+
+        def body(j, acc):
+            i = 255 - j  # MSB first
+            limb = i // 16
+            off = i % 16
+            bits = (jnp.take(scalars_std, limb, axis=-1) >> off) & 1
+            acc = self.double(acc)
+            return self.select(bits > 0, self.add(acc, points), acc)
+
+        return jax.lax.fori_loop(0, 256, body, acc0)
 
     def to_affine(self, p: jnp.ndarray) -> jnp.ndarray:
         """Batch-normalize (n, 3, 16) -> (n, 2, 16) affine (identity -> (0,0))."""
