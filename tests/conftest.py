@@ -7,7 +7,11 @@ N-device code paths are exercised without TPUs).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the sandbox pins JAX_PLATFORMS=axon (a tunnelled TPU) which makes
+# eager dispatch and compiles orders of magnitude slower for test-sized work.
+# The axon sitecustomize overrides the env var, so jax.config (below) is the
+# authoritative switch; the env var still helps early initialization paths.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -16,7 +20,15 @@ import pathlib  # noqa: E402
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Compact (fori_loop) limb-arithmetic graphs: XLA:CPU compiles the big
+# unrolled graphs ~10x slower than it runs them; tests use the looped mode.
+# test_fields has an explicit unrolled-vs-looped equivalence check.
+from zkapps_tpu.fields.jnp_ops import set_unroll  # noqa: E402
+
+set_unroll(False)
 # Persistent compile cache: the limb-arithmetic graphs are expensive to
 # compile; cache them across test runs.
 _cache_dir = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"

@@ -1,0 +1,69 @@
+"""Sharded MSM + distributed NTT on the virtual 8-device CPU mesh."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zkapps_tpu.curve import G1, G1_JNP, g1_msm
+from zkapps_tpu.fields import FR, Fr
+from zkapps_tpu.msm.distributed import msm_sharded
+from zkapps_tpu.ntt import ntt_host
+from zkapps_tpu.ntt.distributed import DistributedNTT, powers_batched
+from zkapps_tpu.parallel import make_mesh, shard_leading
+
+random.seed(41)
+G = G1.generator()
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def test_powers_batched():
+    xs = [3, 7, 11]
+    out = powers_batched(FR, FR.encode(xs), 5)
+    got = FR.decode(out.reshape(-1, 16))
+    want = [pow(x, i, Fr.p) for x in xs for i in range(5)]
+    assert got == want
+
+
+def test_msm_sharded_matches_host(mesh):
+    n = 64
+    points = [G.mul(random.randrange(1, Fr.p)) for _ in range(n)]
+    scalars = [random.randrange(Fr.p) for _ in range(n)]
+    scalars[0] = 0
+    pa = shard_leading(mesh, G1_JNP.encode(points))
+    sa = shard_leading(mesh, FR.encode(scalars, mont=False))
+    out = msm_sharded(mesh, pa, sa, c=8)
+    assert G1_JNP.decode(np.asarray(out)[None])[0] == g1_msm(points, scalars)
+
+
+def test_distributed_ntt_forward(mesh):
+    log_n = 8
+    n = 1 << log_n
+    coeffs = [random.randrange(Fr.p) for _ in range(n)]
+    dntt = DistributedNTT(mesh, log_n)
+    x_mat = shard_leading(mesh, FR.encode(coeffs).reshape(dntt.n1, dntt.n2, 16))
+    m = dntt.forward(x_mat)
+    got = FR.decode(np.asarray(m).reshape(-1, 16))
+    want = ntt_host(coeffs)
+    # M[k1, k2] = X[k1 + n1*k2]  (transposed order)
+    for k1 in range(dntt.n1):
+        for k2 in range(dntt.n2):
+            assert got[k1 * dntt.n2 + k2] == want[k1 + dntt.n1 * k2]
+
+
+def test_distributed_ntt_roundtrip(mesh):
+    log_n = 8
+    n = 1 << log_n
+    coeffs = [random.randrange(Fr.p) for _ in range(n)]
+    dntt = DistributedNTT(mesh, log_n)
+    x_mat = shard_leading(mesh, FR.encode(coeffs).reshape(dntt.n1, dntt.n2, 16))
+    back = dntt.inverse(dntt.forward(x_mat))
+    got = FR.decode(np.asarray(back).reshape(-1, 16))
+    assert got == coeffs

@@ -94,6 +94,31 @@ class TestLimbField:
             assert jf.decode(out) == [x * k % hf.p for x in xs]
 
 
+def test_unrolled_matches_looped():
+    """The two graph-shape modes must be bit-identical."""
+    from zkapps_tpu.fields.jnp_ops import get_unroll, set_unroll
+
+    xs = rand_elems(Fr, 16)
+    ys = rand_elems(Fr, 16)
+    a, b = FR.encode(xs), FR.encode(ys)
+    prev = get_unroll()
+    try:
+        set_unroll(True)
+        m_u = jax.jit(lambda u, v: FR.mul(u, v))(a, b)
+        a_u = jax.jit(lambda u, v: FR.add(u, v))(a, b)
+        s_u = jax.jit(lambda u, v: FR.sub(u, v))(a, b)
+        set_unroll(False)
+        m_l = jax.jit(lambda u, v: FR.mul(u, v))(a, b)
+        a_l = jax.jit(lambda u, v: FR.add(u, v))(a, b)
+        s_l = jax.jit(lambda u, v: FR.sub(u, v))(a, b)
+    finally:
+        set_unroll(prev)
+    assert np.array_equal(np.asarray(m_u), np.asarray(m_l))
+    assert np.array_equal(np.asarray(a_u), np.asarray(a_l))
+    assert np.array_equal(np.asarray(s_u), np.asarray(s_l))
+    assert FR.decode(m_u) == [x * y % Fr.p for x, y in zip(xs, ys)]
+
+
 def test_host_field_basics():
     assert Fr.inv(Fr.mul(12345, Fr.inv(12345))) == Fr.inv(1)
     w = Fr.root_of_unity(3)

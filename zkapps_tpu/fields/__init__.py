@@ -1,5 +1,5 @@
 from .host import Fq, Fr, FQ_MODULUS, FR_MODULUS, PrimeField
-from .jnp_ops import FQ, FR, LimbField, get_field
+from .jnp_ops import FQ, FR, LimbField, get_field, get_unroll, set_unroll
 from .limbs import (
     LIMB_BITS,
     LIMB_MASK,

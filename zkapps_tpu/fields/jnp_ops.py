@@ -41,6 +41,23 @@ from .host import FQ_MODULUS, FR_MODULUS
 _MASK = jnp.uint32(LIMB_MASK)
 _SHIFT = LIMB_BITS
 
+# Graph-shape mode: 'unrolled' emits straight-line limb arithmetic that XLA
+# fuses into one kernel (best runtime on TPU — the lazy-column state never
+# leaves registers/VMEM); 'looped' wraps the per-limb iterations in
+# lax.fori_loop, shrinking the traced graph ~10x (fast compiles — used by the
+# CPU test suite, where XLA:CPU's LLVM pipeline makes big unrolled graphs
+# prohibitively slow to build).  Both modes compute identical results.
+_UNROLL = True
+
+
+def set_unroll(flag: bool) -> None:
+    global _UNROLL
+    _UNROLL = flag
+
+
+def get_unroll() -> bool:
+    return _UNROLL
+
 
 class LimbField:
     """Vectorized GF(p) arithmetic over (…, 16) uint32 limb arrays."""
@@ -93,20 +110,35 @@ class LimbField:
     def _cond_sub_p(self, limbs: jnp.ndarray, top: jnp.ndarray) -> jnp.ndarray:
         """Subtract p iff value (= limbs + top*2^256) >= p.  Input < 2p."""
         p = self.p_limbs
-        borrow = jnp.zeros_like(limbs[..., 0])
-        ds = []
-        for j in range(N_LIMBS):
-            tj = limbs[..., j]
-            pj = p[j] + borrow  # < 2^16 + 1, fits
-            ds.append((tj - pj) & _MASK)
-            borrow = (tj < pj).astype(jnp.uint32)
-        d = jnp.stack(ds, axis=-1)
+        if _UNROLL:
+            borrow = jnp.zeros_like(limbs[..., 0])
+            ds = []
+            for j in range(N_LIMBS):
+                tj = limbs[..., j]
+                pj = p[j] + borrow  # < 2^16 + 1, fits
+                ds.append((tj - pj) & _MASK)
+                borrow = (tj < pj).astype(jnp.uint32)
+            d = jnp.stack(ds, axis=-1)
+        else:
+
+            def body(j, state):
+                borrow, d = state
+                tj = jnp.take(limbs, j, axis=-1)
+                pj = jnp.take(p, j) + borrow
+                d = jax.lax.dynamic_update_index_in_dim(d, (tj - pj) & _MASK, j, axis=-1)
+                return ((tj < pj).astype(jnp.uint32), d)
+
+            borrow, d = jax.lax.fori_loop(
+                0, N_LIMBS, body, (jnp.zeros_like(limbs[..., 0]), jnp.zeros_like(limbs))
+            )
         ge = (top > 0) | (borrow == 0)
         return jnp.where(ge[..., None], d, limbs)
 
     def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Montgomery product: a*b*R^{-1} mod p.  Shapes broadcast on batch dims."""
         a, b = jnp.broadcast_arrays(a, b)
+        if not _UNROLL:
+            return self._mul_looped(a, b)
         t = jnp.zeros(a.shape[:-1] + (N_LIMBS + 1,), dtype=jnp.uint32)
         p = self.p_limbs
         for i in range(N_LIMBS):
@@ -132,37 +164,109 @@ class LimbField:
         out = jnp.stack(limbs, axis=-1)
         return self._cond_sub_p(out, top)
 
+    def _mul_looped(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Same algorithm as mul() with the limb iterations as fori_loops."""
+        p = self.p_limbs
+        n0 = self._n0inv_dev
+        t0 = jnp.zeros(a.shape[:-1] + (N_LIMBS + 1,), dtype=jnp.uint32)
+
+        def body(i, t):
+            bi = jnp.take(b, i, axis=-1)[..., None]
+            prod = a * bi
+            t = t.at[..., 0:N_LIMBS].add(prod & _MASK)
+            t = t.at[..., 1 : N_LIMBS + 1].add(prod >> _SHIFT)
+            m = ((t[..., 0] & _MASK) * n0) & _MASK
+            mp = m[..., None] * p
+            t = t.at[..., 0:N_LIMBS].add(mp & _MASK)
+            t = t.at[..., 1 : N_LIMBS + 1].add(mp >> _SHIFT)
+            carry0 = t[..., 0] >> _SHIFT
+            t = jnp.concatenate([t[..., 1:], jnp.zeros_like(t[..., :1])], axis=-1)
+            return t.at[..., 0].add(carry0)
+
+        t = jax.lax.fori_loop(0, N_LIMBS, body, t0)
+
+        def norm_body(j, state):
+            carry, out = state
+            s = jnp.take(t, j, axis=-1) + carry
+            out = jax.lax.dynamic_update_index_in_dim(out, s & _MASK, j, axis=-1)
+            return (s >> _SHIFT, out)
+
+        carry, out = jax.lax.fori_loop(
+            0,
+            N_LIMBS,
+            norm_body,
+            (jnp.zeros_like(t[..., 0]), jnp.zeros(a.shape, dtype=jnp.uint32)),
+        )
+        top = t[..., N_LIMBS] + carry
+        return self._cond_sub_p(out, top)
+
     def square(self, a: jnp.ndarray) -> jnp.ndarray:
         return self.mul(a, a)
 
     def add(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         a, b = jnp.broadcast_arrays(a, b)
-        carry = jnp.zeros_like(a[..., 0])
-        limbs = []
-        for j in range(N_LIMBS):
-            s = a[..., j] + b[..., j] + carry
-            limbs.append(s & _MASK)
-            carry = s >> _SHIFT
-        out = jnp.stack(limbs, axis=-1)
+        if _UNROLL:
+            carry = jnp.zeros_like(a[..., 0])
+            limbs = []
+            for j in range(N_LIMBS):
+                s = a[..., j] + b[..., j] + carry
+                limbs.append(s & _MASK)
+                carry = s >> _SHIFT
+            out = jnp.stack(limbs, axis=-1)
+        else:
+            s_all = a + b  # limbs < 2^17, carries resolved in the loop
+
+            def body(j, state):
+                carry, out = state
+                s = jnp.take(s_all, j, axis=-1) + carry
+                out = jax.lax.dynamic_update_index_in_dim(out, s & _MASK, j, axis=-1)
+                return (s >> _SHIFT, out)
+
+            carry, out = jax.lax.fori_loop(
+                0, N_LIMBS, body, (jnp.zeros_like(a[..., 0]), jnp.zeros_like(a))
+            )
         return self._cond_sub_p(out, carry)
 
     def sub(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         a, b = jnp.broadcast_arrays(a, b)
-        borrow = jnp.zeros_like(a[..., 0])
-        limbs = []
-        for j in range(N_LIMBS):
-            bj = b[..., j] + borrow
-            limbs.append((a[..., j] - bj) & _MASK)
-            borrow = (a[..., j] < bj).astype(jnp.uint32)
-        d = jnp.stack(limbs, axis=-1)
-        # If we borrowed, add p back.
-        carry = jnp.zeros_like(borrow)
-        limbs2 = []
-        for j in range(N_LIMBS):
-            s = d[..., j] + self.p_limbs[j] + carry
-            limbs2.append(s & _MASK)
-            carry = s >> _SHIFT
-        dp = jnp.stack(limbs2, axis=-1)
+        if _UNROLL:
+            borrow = jnp.zeros_like(a[..., 0])
+            limbs = []
+            for j in range(N_LIMBS):
+                bj = b[..., j] + borrow
+                limbs.append((a[..., j] - bj) & _MASK)
+                borrow = (a[..., j] < bj).astype(jnp.uint32)
+            d = jnp.stack(limbs, axis=-1)
+            # If we borrowed, add p back.
+            carry = jnp.zeros_like(borrow)
+            limbs2 = []
+            for j in range(N_LIMBS):
+                s = d[..., j] + self.p_limbs[j] + carry
+                limbs2.append(s & _MASK)
+                carry = s >> _SHIFT
+            dp = jnp.stack(limbs2, axis=-1)
+            return jnp.where((borrow > 0)[..., None], dp, d)
+
+        def body(j, state):
+            borrow, d = state
+            bj = jnp.take(b, j, axis=-1) + borrow
+            aj = jnp.take(a, j, axis=-1)
+            d = jax.lax.dynamic_update_index_in_dim(d, (aj - bj) & _MASK, j, axis=-1)
+            return ((aj < bj).astype(jnp.uint32), d)
+
+        borrow, d = jax.lax.fori_loop(
+            0, N_LIMBS, body, (jnp.zeros_like(a[..., 0]), jnp.zeros_like(a))
+        )
+
+        def body2(j, state):
+            carry, dp = state
+            s = jnp.take(d, j, axis=-1) + jnp.take(self.p_limbs, j) + carry
+            dp = jax.lax.dynamic_update_index_in_dim(dp, s & _MASK, j, axis=-1)
+            return (s >> _SHIFT, dp)
+
+        _, dp = jax.lax.fori_loop(
+            0, N_LIMBS, body2, (jnp.zeros_like(borrow), jnp.zeros_like(a))
+        )
         return jnp.where((borrow > 0)[..., None], dp, d)
 
     def neg(self, a: jnp.ndarray) -> jnp.ndarray:
