@@ -37,9 +37,9 @@ class GateChip:
     def sub(self, a: AssignedValue, b: AssignedValue) -> AssignedValue:
         # out = a - b  emitted as  out + b*1 = a  -> window [out, b, 1, a]
         ctx = self.ctx
+        one = self.one  # may allocate the constant cell — must precede `row`
         row = len(ctx.advice)
         out_val = (a.value - b.value) % P
-        one = self.one
         ctx.advice.extend([out_val, b.value, one.value, a.value])
         ctx.q_a_rows.append(row)
         ctx.copies.append((b.index, row + 1))
