@@ -1,0 +1,96 @@
+"""Headline benchmark: Pippenger MSM throughput on the local accelerator.
+
+Prints ONE JSON line:
+  {"metric": "msm_points_per_s_2^20", "value": N, "unit": "points/s", "vs_baseline": R}
+
+vs_baseline is measured against BASELINE.json: the reference publishes no
+numbers ("published": {}), so the ratio is against a 1.0e6 points/s
+working-baseline for a multicore CPU Pippenger of the reference's class at
+2^20 (arkworks/halo2curves-era throughput); see BASELINE.md.
+
+Environment knobs:
+  ZKTPU_BENCH_LOG_N   (default 20)  MSM size
+  ZKTPU_BENCH_WINDOW  (default 16)  Pippenger window bits
+  ZKTPU_BENCH_UNROLL  (default 1)   1 = fused unrolled field kernels
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    log_n = int(os.environ.get("ZKTPU_BENCH_LOG_N", "20"))
+    window = int(os.environ.get("ZKTPU_BENCH_WINDOW", "16"))
+    unroll = os.environ.get("ZKTPU_BENCH_UNROLL", "1") == "1"
+    n = 1 << log_n
+
+    import jax
+    import jax.numpy as jnp
+
+    from zkapps_tpu.fields.jnp_ops import FR, set_unroll
+    from zkapps_tpu.curve.host import G1
+    from zkapps_tpu.curve.jnp_point import G1_JNP
+    from zkapps_tpu.msm.jnp_msm import msm
+
+    set_unroll(unroll)
+    dev = jax.devices()[0]
+    log(f"bench: device={dev}, n=2^{log_n}, c={window}, unroll={unroll}")
+
+    # Pseudo-random points: a small set of distinct multiples of G, tiled.
+    # (Bucket structure depends on scalars, not point values.)
+    base_n = 1 << 10
+    g = G1.generator()
+    base_pts = G1_JNP.encode([g.mul(3 * i + 2) for i in range(64)])
+    base_pts = jnp.tile(base_pts, (base_n // 64, 1, 1))
+    from zkapps_tpu.ntt.jnp_ntt import powers_device
+
+    # scramble: multiply base by per-point scalars to decorrelate
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    points = jnp.tile(base_pts, (n // base_n, 1, 1))
+
+    scal_np = rng.integers(0, 1 << 16, size=(n, 16), dtype=np.uint16).astype(np.uint32)
+    # ensure < p: clear top bits of the last limb
+    scal_np[:, 15] &= 0x2FFF
+    scalars = jnp.asarray(scal_np)
+
+    t0 = time.time()
+    out = msm(points, scalars, window)
+    jax.block_until_ready(out)
+    compile_and_first = time.time() - t0
+    log(f"bench: first run (incl compile) {compile_and_first:.1f}s")
+
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        out = msm(points, scalars, window)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+    pps = n / dt
+    log(f"bench: steady-state {dt*1e3:.1f} ms -> {pps:,.0f} points/s")
+
+    baseline_pps = 1.0e6  # reference-class multicore CPU Pippenger at 2^20
+    print(
+        json.dumps(
+            {
+                "metric": f"msm_points_per_s_2^{log_n}",
+                "value": round(pps, 1),
+                "unit": "points/s",
+                "vs_baseline": round(pps / baseline_pps, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
