@@ -9,9 +9,11 @@ working-baseline for a multicore CPU Pippenger of the reference's class at
 2^20 (arkworks/halo2curves-era throughput); see BASELINE.md.
 
 Environment knobs:
-  ZKTPU_BENCH_LOG_N   (default 20)  MSM size
-  ZKTPU_BENCH_WINDOW  (default 16)  Pippenger window bits
-  ZKTPU_BENCH_UNROLL  (default 1)   1 = fused unrolled field kernels
+  ZKTPU_BENCH_LOG_N    (default 20)      MSM size
+  ZKTPU_BENCH_WINDOW   (default 16)      Pippenger window bits
+  ZKTPU_BENCH_BACKEND  (default pallas)  'pallas' (fused Mosaic point kernels)
+                                         or 'jnp'
+  ZKTPU_BENCH_UNROLL   (default 0)       graph mode for the non-Pallas glue
 """
 
 from __future__ import annotations
@@ -29,20 +31,24 @@ def log(msg: str) -> None:
 def main() -> None:
     log_n = int(os.environ.get("ZKTPU_BENCH_LOG_N", "20"))
     window = int(os.environ.get("ZKTPU_BENCH_WINDOW", "16"))
-    unroll = os.environ.get("ZKTPU_BENCH_UNROLL", "1") == "1"
+    unroll = os.environ.get("ZKTPU_BENCH_UNROLL", "0") == "1"
+    backend = os.environ.get("ZKTPU_BENCH_BACKEND", "pallas")
+
     n = 1 << log_n
 
     import jax
     import jax.numpy as jnp
 
-    from zkapps_tpu.fields.jnp_ops import FR, set_unroll
+    from zkapps_tpu.fields.jnp_ops import FR, set_backend, set_unroll
     from zkapps_tpu.curve.host import G1
     from zkapps_tpu.curve.jnp_point import G1_JNP
     from zkapps_tpu.msm.jnp_msm import msm
 
     set_unroll(unroll)
     dev = jax.devices()[0]
-    log(f"bench: device={dev}, n=2^{log_n}, c={window}, unroll={unroll}")
+    if backend == "pallas" and dev.platform not in ("cpu",):
+        set_backend("pallas")
+    log(f"bench: device={dev}, n=2^{log_n}, c={window}, backend={backend}, unroll={unroll}")
 
     # Pseudo-random points: a small set of distinct multiples of G, tiled.
     # (Bucket structure depends on scalars, not point values.)

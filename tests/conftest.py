@@ -29,8 +29,7 @@ jax.config.update("jax_enable_x64", False)
 from zkapps_tpu.fields.jnp_ops import set_unroll  # noqa: E402
 
 set_unroll(False)
-# Persistent compile cache: the limb-arithmetic graphs are expensive to
-# compile; cache them across test runs.
-_cache_dir = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
-jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: deliberately NO persistent compilation cache.  On this sandbox the
+# axon sitecustomize makes XLA:CPU AOT artifacts carry a foreign machine
+# profile; reloading them SIGSEGVs (observed).  The looped field-op mode keeps
+# in-process compiles cheap instead.

@@ -82,9 +82,23 @@ class JnpG1:
         out = f.mul(lhs, rhs)
         return [out[k] for k in range(len(pairs))]
 
+    def _pallas_batch(self, p: jnp.ndarray) -> int:
+        from ..fields.jnp_ops import get_backend
+
+        if get_backend() != "pallas":
+            return 0
+        batch = 1
+        for s in p.shape[:-2]:
+            batch *= s
+        return batch
+
     def add(self, p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
         """Complete addition (RCB15 Algorithm 7, a=0, b3=9)."""
         f = self.f
+        if self._pallas_batch(p) >= 128:
+            from ..fields.pallas_ops import padd_pallas_auto
+
+            return padd_pallas_auto(f, p, q)
         X1, Y1, Z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
         X2, Y2, Z2 = q[..., 0, :], q[..., 1, :], q[..., 2, :]
 
@@ -127,6 +141,10 @@ class JnpG1:
     def double(self, p: jnp.ndarray) -> jnp.ndarray:
         """Complete doubling (RCB15 Algorithm 9, a=0, b3=9)."""
         f = self.f
+        if self._pallas_batch(p) >= 128:
+            from ..fields.pallas_ops import pdbl_pallas_auto
+
+            return pdbl_pallas_auto(f, p)
         X, Y, Z = p[..., 0, :], p[..., 1, :], p[..., 2, :]
         # layer 1
         t0, t1, t2, txy = self._mul_layer([(Y, Y), (Y, Z), (Z, Z), (X, Y)])

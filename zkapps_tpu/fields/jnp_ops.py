@@ -49,6 +49,15 @@ _SHIFT = LIMB_BITS
 # prohibitively slow to build).  Both modes compute identical results.
 _UNROLL = True
 
+# Kernel backend: 'jnp' (XLA graphs, portable) or 'pallas' (fused Mosaic
+# kernels, TPU only — large batches of mul / point ops run as single kernels
+# whose state never leaves VMEM; see fields/pallas_ops.py).
+_BACKEND = "jnp"
+
+# Minimum flattened batch for routing a field mul to the Pallas kernel; below
+# this the XLA path wins (kernel launch + padding overhead).
+PALLAS_MUL_MIN_BATCH = 2048
+
 
 def set_unroll(flag: bool) -> None:
     global _UNROLL
@@ -57,6 +66,16 @@ def set_unroll(flag: bool) -> None:
 
 def get_unroll() -> bool:
     return _UNROLL
+
+
+def set_backend(name: str) -> None:
+    assert name in ("jnp", "pallas")
+    global _BACKEND
+    _BACKEND = name
+
+
+def get_backend() -> str:
+    return _BACKEND
 
 
 class LimbField:
@@ -137,6 +156,14 @@ class LimbField:
     def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Montgomery product: a*b*R^{-1} mod p.  Shapes broadcast on batch dims."""
         a, b = jnp.broadcast_arrays(a, b)
+        if _BACKEND == "pallas":
+            batch = 1
+            for s in a.shape[:-1]:
+                batch *= s
+            if batch >= PALLAS_MUL_MIN_BATCH:
+                from .pallas_ops import mul_pallas_auto
+
+                return mul_pallas_auto(self, a, b)
         if not _UNROLL:
             return self._mul_looped(a, b)
         t = jnp.zeros(a.shape[:-1] + (N_LIMBS + 1,), dtype=jnp.uint32)

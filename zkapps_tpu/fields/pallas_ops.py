@@ -1,0 +1,332 @@
+"""Pallas TPU kernels for the field/curve hot path.
+
+The jnp limb kernels leave a trade-off: unrolled graphs fuse well but compile
+slowly through XLA, and looped graphs round-trip state through HBM; both pay
+per-HLO dispatch overhead that dominates point ops built from ~30 field-op
+calls.  These Mosaic kernels fuse a whole field multiply — and a whole
+complete point addition (12 muls + ~30 add/subs) — into ONE kernel whose
+intermediate state never leaves VMEM/registers.
+
+Internal layout: blocks arrive library-standard (tile, …, 16) limb-minor and
+are transposed in VMEM to limb-major (16, tile) so the batch rides the
+128-wide lane axis; limbs live on sublanes and all carry/propagate steps are
+full-width (16, T) ops with Kogge-Stone carry lookahead (log2(16)=4 rounds)
+instead of serial 16-step chains.
+
+Kernels must not capture traced constants: p/n0inv are Python ints baked at
+trace time; the (16,1) p column is a kernel input.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .limbs import LIMB_BITS, LIMB_MASK, N_LIMBS, int_to_limbs
+
+MASK = LIMB_MASK  # python int — do not capture traced constants in kernels
+DEFAULT_TILE = 1024
+
+
+# ---------------------------------------------------------------------------
+# full-width (16, T) limb helpers (used INSIDE kernels)
+# ---------------------------------------------------------------------------
+
+
+def _shift_up(x, k):
+    """Shift rows toward higher limb indices by k (zeros shifted in)."""
+    return jnp.concatenate([jnp.zeros_like(x[:k]), x[: N_LIMBS - k]], axis=0)
+
+
+def _resolve_carries(s):
+    """Exact carry resolution for (16,T) columns with values < 2^17.
+
+    Kogge-Stone over (generate, propagate): 4 rounds of full-width ops.
+    Returns (limbs (16,T) canonical, carry_out (1,T))."""
+    g = s >> LIMB_BITS  # 0/1
+    p = ((s & MASK) == MASK).astype(jnp.uint32)
+    gp, pp = g, p
+    for k in (1, 2, 4, 8):
+        g_sh = _shift_up(gp, k)
+        p_sh = _shift_up(pp, k)
+        gp = gp | (pp & g_sh)
+        pp = pp & p_sh
+    carry_in = _shift_up(gp, 1)  # carry into limb j = G[j-1]
+    out = (s + carry_in) & MASK
+    carry_out = gp[N_LIMBS - 1 : N_LIMBS]
+    return out, carry_out
+
+
+def _fw_add_raw(a, b):
+    """a + b as canonical limbs + carry_out; inputs canonical (16,T)."""
+    return _resolve_carries(a + b)
+
+
+def _fw_sub_mod2(a, b, extra: int = 0):
+    """(a - b + extra) mod 2^256 via complement add; returns (limbs, no_borrow).
+
+    no_borrow (1,T) is 1 iff a + extra >= b.  extra in {0,1}."""
+    comp = (MASK - b) + a  # each < 2^17
+    if extra:
+        comp = jnp.concatenate([comp[0:1] + extra, comp[1:]], axis=0)
+    # add the +1 of two's complement
+    comp = jnp.concatenate([comp[0:1] + 1, comp[1:]], axis=0)
+    out, carry = _resolve_carries(comp)
+    return out, carry
+
+
+def _fw_cond_sub_p(limbs, top, p_arr):
+    """Subtract p iff (limbs + top*2^256) >= p; inputs < 2p."""
+    d, no_borrow = _fw_sub_mod2(limbs, p_arr)
+    ge = (top > 0) | (no_borrow > 0)
+    return jnp.where(ge, d, limbs)
+
+
+def _fw_add(a, b, p_arr):
+    s, carry = _fw_add_raw(a, b)
+    return _fw_cond_sub_p(s, carry, p_arr)
+
+
+def _fw_sub(a, b, p_arr):
+    d, no_borrow = _fw_sub_mod2(a, b)
+    dp, _ = _fw_add_raw(d, p_arr)
+    return jnp.where(no_borrow > 0, d, dp)
+
+
+def _fw_mul_small(a, k: int, p_arr):
+    """a * k for tiny static k via double-and-add (k <= ~16)."""
+    result = None
+    addend = a
+    while k:
+        if k & 1:
+            result = addend if result is None else _fw_add(result, addend, p_arr)
+        k >>= 1
+        if k:
+            addend = _fw_add(addend, addend, p_arr)
+    return result
+
+
+def _fw_mont_mul(a, b, p_arr, n0inv: int):
+    """Lazy-column Montgomery product, (16,T) x (16,T) -> (16,T).
+
+    Same algorithm/bounds as jnp_ops.LimbField.mul."""
+    t = jnp.zeros((N_LIMBS + 1, a.shape[1]), jnp.uint32)
+    zrow = jnp.zeros_like(a[0:1])
+    for i in range(N_LIMBS):
+        bi = b[i : i + 1]
+        prod = a * bi
+        t = t + jnp.concatenate([prod & MASK, zrow], 0)
+        t = t + jnp.concatenate([zrow, prod >> LIMB_BITS], 0)
+        m = ((t[0:1] & MASK) * n0inv) & MASK
+        mp = p_arr * m
+        t = t + jnp.concatenate([mp & MASK, zrow], 0)
+        t = t + jnp.concatenate([zrow, mp >> LIMB_BITS], 0)
+        carry0 = t[0:1] >> LIMB_BITS
+        t = jnp.concatenate([t[1:2] + carry0, t[2:], zrow], axis=0)
+    # lazy columns < 2^22: two relax passes bring them under 2^17, then KS
+    for _ in range(2):
+        lo = t & MASK
+        hi = t >> LIMB_BITS
+        t = lo + jnp.concatenate([jnp.zeros_like(t[0:1]), hi[:-1]], axis=0)
+    limbs, carry_out = _resolve_carries(t[:N_LIMBS])
+    top = t[N_LIMBS : N_LIMBS + 1] + carry_out
+    return _fw_cond_sub_p(limbs, top, p_arr)
+
+
+# ---------------------------------------------------------------------------
+# complete point addition / doubling (RCB15, a=0, b3=9) on (3,16,T)
+# ---------------------------------------------------------------------------
+
+B3 = 9
+
+
+def _fw_point_add(P, Q, p_arr, n0inv):
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    mul = lambda a, b: _fw_mont_mul(a, b, p_arr, n0inv)  # noqa: E731
+    add = lambda a, b: _fw_add(a, b, p_arr)  # noqa: E731
+    sub = lambda a, b: _fw_sub(a, b, p_arr)  # noqa: E731
+
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t2 = mul(Z1, Z2)
+    t3 = sub(mul(add(X1, Y1), add(X2, Y2)), add(t0, t1))
+    t4 = sub(mul(add(Y1, Z1), add(Y2, Z2)), add(t1, t2))
+    ty = sub(mul(add(X1, Z1), add(X2, Z2)), add(t0, t2))
+    three_t0 = _fw_mul_small(t0, 3, p_arr)
+    b3_t2 = _fw_mul_small(t2, B3, p_arr)
+    z3t = add(t1, b3_t2)
+    t1m = sub(t1, b3_t2)
+    y3t = _fw_mul_small(ty, B3, p_arr)
+    X3 = sub(mul(t3, t1m), mul(t4, y3t))
+    Y3 = add(mul(y3t, three_t0), mul(t1m, z3t))
+    Z3 = add(mul(z3t, t4), mul(three_t0, t3))
+    return X3, Y3, Z3
+
+
+def _fw_point_double(P, p_arr, n0inv):
+    X, Y, Z = P
+    mul = lambda a, b: _fw_mont_mul(a, b, p_arr, n0inv)  # noqa: E731
+    add = lambda a, b: _fw_add(a, b, p_arr)  # noqa: E731
+    sub = lambda a, b: _fw_sub(a, b, p_arr)  # noqa: E731
+
+    t0 = mul(Y, Y)
+    t1 = mul(Y, Z)
+    t2 = mul(Z, Z)
+    txy = mul(X, Y)
+    z3 = _fw_mul_small(t0, 8, p_arr)
+    t2 = _fw_mul_small(t2, B3, p_arr)
+    y3 = add(t0, t2)
+    t0 = sub(t0, _fw_mul_small(t2, 3, p_arr))
+    X3a = mul(t2, z3)
+    Z3 = mul(t1, z3)
+    Y3a = mul(t0, y3)
+    X3b = mul(t0, txy)
+    Y3 = add(X3a, Y3a)
+    X3 = add(X3b, X3b)
+    return X3, Y3, Z3
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+
+def _p_col(p: int):
+    return jnp.asarray(np.asarray(int_to_limbs(p), np.uint32).reshape(N_LIMBS, 1))
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def mul_pallas(a: jnp.ndarray, b: jnp.ndarray, p: int, n0inv: int, tile: int) -> jnp.ndarray:
+    """(N,16) x (N,16) Montgomery mul; N % tile == 0."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = a.shape[0]
+
+    def kernel(p_ref, a_ref, b_ref, out_ref):
+        res = _fw_mont_mul(a_ref[:].T, b_ref[:].T, p_ref[:], n0inv)
+        out_ref[:] = res.T
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, N_LIMBS), jnp.uint32),
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((N_LIMBS, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, N_LIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, N_LIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, N_LIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    )(_p_col(p), a, b)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def padd_pallas(pts: jnp.ndarray, qts: jnp.ndarray, p: int, n0inv: int, tile: int):
+    """Complete point addition: (N,3,16) x (N,3,16) -> (N,3,16)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = pts.shape[0]
+
+    def kernel(p_ref, a_ref, b_ref, out_ref):
+        pa = a_ref[:]
+        qa = b_ref[:]
+        P = tuple(pa[:, c, :].T for c in range(3))
+        Q = tuple(qa[:, c, :].T for c in range(3))
+        X3, Y3, Z3 = _fw_point_add(P, Q, p_ref[:], n0inv)
+        out_ref[:] = jnp.stack([X3.T, Y3.T, Z3.T], axis=1)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, 3, N_LIMBS), jnp.uint32),
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((N_LIMBS, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 3, N_LIMBS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 3, N_LIMBS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 3, N_LIMBS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    )(_p_col(p), pts, qts)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def pdbl_pallas(pts: jnp.ndarray, p: int, n0inv: int, tile: int):
+    """Complete point doubling: (N,3,16) -> (N,3,16)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = pts.shape[0]
+
+    def kernel(p_ref, a_ref, out_ref):
+        pa = a_ref[:]
+        P = tuple(pa[:, c, :].T for c in range(3))
+        X3, Y3, Z3 = _fw_point_double(P, p_ref[:], n0inv)
+        out_ref[:] = jnp.stack([X3.T, Y3.T, Z3.T], axis=1)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, 3, N_LIMBS), jnp.uint32),
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((N_LIMBS, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 3, N_LIMBS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 3, N_LIMBS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    )(_p_col(p), pts)
+
+
+def _pad_to(arr, tile):
+    n = arr.shape[0]
+    pad = (-n) % tile
+    if pad:
+        arr = jnp.concatenate([arr, jnp.zeros((pad,) + arr.shape[1:], jnp.uint32)], axis=0)
+    return arr, n
+
+
+def _pick_tile(n, tile):
+    if n >= tile:
+        return tile
+    t = max(128, 1 << (n - 1).bit_length() if n > 1 else 128)
+    return min(t, tile)
+
+
+def mul_pallas_auto(field, a, b, tile: int = DEFAULT_TILE):
+    """Broadcast/flatten/pad wrapper around mul_pallas for (…,16) operands."""
+    a, b = jnp.broadcast_arrays(a, b)
+    batch = a.shape[:-1]
+    n = int(np.prod(batch)) if batch else 1
+    af = a.reshape(n, N_LIMBS)
+    bf = b.reshape(n, N_LIMBS)
+    t = _pick_tile(n, tile)
+    af, real_n = _pad_to(af, t)
+    bf, _ = _pad_to(bf, t)
+    out = mul_pallas(af, bf, field.p, field.n0inv, t)[:real_n]
+    return out.reshape(*batch, N_LIMBS)
+
+
+def padd_pallas_auto(field, pts, qts, tile: int = DEFAULT_TILE):
+    """Broadcast/flatten/pad wrapper around padd_pallas for (…,3,16) points."""
+    pts, qts = jnp.broadcast_arrays(pts, qts)
+    batch = pts.shape[:-2]
+    n = int(np.prod(batch)) if batch else 1
+    pf = pts.reshape(n, 3, N_LIMBS)
+    qf = qts.reshape(n, 3, N_LIMBS)
+    t = _pick_tile(n, tile)
+    pf, real_n = _pad_to(pf, t)
+    qf, _ = _pad_to(qf, t)
+    out = padd_pallas(pf, qf, field.p, field.n0inv, t)[:real_n]
+    return out.reshape(*batch, 3, N_LIMBS)
+
+
+def pdbl_pallas_auto(field, pts, tile: int = DEFAULT_TILE):
+    batch = pts.shape[:-2]
+    n = int(np.prod(batch)) if batch else 1
+    pf = pts.reshape(n, 3, N_LIMBS)
+    t = _pick_tile(n, tile)
+    pf, real_n = _pad_to(pf, t)
+    out = pdbl_pallas(pf, field.p, field.n0inv, t)[:real_n]
+    return out.reshape(*batch, 3, N_LIMBS)

@@ -25,7 +25,7 @@ from .keygen import DELTA, PlonkPK
 P = Fr.p
 
 # Multiopen query structure: polys opened at x, wx, w2x, w3x.
-EVAL_ORDER_X = ["a", "z", "h0", "h1", "h2", "q_a", "q_c", "f", "sigma_a", "sigma_pi"]
+EVAL_ORDER_X = ["a", "z", "h0", "h1", "q_a", "q_c", "f", "sigma_a", "sigma_pi"]
 EVAL_ORDER_WX = ["a", "z"]
 EVAL_ORDER_W2X = ["a"]
 EVAL_ORDER_W3X = ["a"]
@@ -122,9 +122,11 @@ def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False) -> bytes:
     h_evals = FR.mul(combined, pk.zh_inv_coset)
     h_coeffs = ext_plan.coset_inverse(h_evals)
     if debug_checks:
-        tail = FR.decode(h_coeffs[3 * n :])
-        assert all(t == 0 for t in tail), "quotient degree exceeds 3n"
-    h_chunks = [h_coeffs[i * n : (i + 1) * n] for i in range(3)]
+        tail = FR.decode(h_coeffs[2 * n :])
+        assert all(t == 0 for t in tail), "quotient degree exceeds 2n"
+    # Constraint degree <= 3(n-1), so h = quotient/Z_H has degree <= 2n-3:
+    # exactly two n-sized chunks.
+    h_chunks = [h_coeffs[i * n : (i + 1) * n] for i in range(2)]
     h_comms = [pk.kzg.commit(h) for h in h_chunks]
     for comm in h_comms:
         transcript.write_point(comm)
@@ -143,7 +145,6 @@ def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False) -> bytes:
         "z": z_coeffs,
         "h0": h_chunks[0],
         "h1": h_chunks[1],
-        "h2": h_chunks[2],
         "q_a": pk.coeffs["q_a"],
         "q_c": pk.coeffs["q_c"],
         "f": pk.coeffs["f"],

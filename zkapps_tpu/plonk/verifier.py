@@ -42,7 +42,7 @@ def _verify(vk: PlonkVK, kzg: KZG, proof: bytes, publics: list[int]) -> bool:
     gamma = tr.squeeze_challenge()
     z_comm = tr.read_point()
     y = tr.squeeze_challenge()
-    h_comms = [tr.read_point() for _ in range(3)]
+    h_comms = [tr.read_point() for _ in range(2)]
     x = tr.squeeze_challenge()
 
     evals = {}
@@ -89,7 +89,7 @@ def _verify(vk: PlonkVK, kzg: KZG, proof: bytes, publics: list[int]) -> bool:
     combined = c0
     for c in (c1, c2, c3):
         combined = (combined * y + c) % P
-    h_x = (e("h0") + xn * e("h1") + xn * xn % P * e("h2")) % P
+    h_x = (e("h0") + xn * e("h1")) % P
     if combined != h_x * zh_x % P:
         return False
 
@@ -99,7 +99,6 @@ def _verify(vk: PlonkVK, kzg: KZG, proof: bytes, publics: list[int]) -> bool:
         "z": z_comm,
         "h0": h_comms[0],
         "h1": h_comms[1],
-        "h2": h_comms[2],
         "q_a": vk.commitments["q_a"],
         "q_c": vk.commitments["q_c"],
         "f": vk.commitments["f"],

@@ -40,11 +40,16 @@ class Blake2bWrite:
 
     # -- absorption ------------------------------------------------------
     def common_point(self, point: G1) -> None:
-        if point.is_identity:
-            raise ValueError("cannot write points at infinity to the transcript")
+        # Deviation from halo2 (which rejects infinity): the identity is
+        # absorbed as (0,0) and streams as the all-zero compressed encoding.
+        # Needed while proofs are unblinded (zero quotient chunks / constant
+        # aggregates can legitimately commit to the identity); revisit with
+        # ZK blinding (NOTES.md item 5).
         self.state.update(BLAKE2B_PREFIX_POINT)
-        self.state.update(point.x.to_bytes(32, "little"))
-        self.state.update(point.y.to_bytes(32, "little"))
+        x = 0 if point.is_identity else point.x
+        y = 0 if point.is_identity else point.y
+        self.state.update(x.to_bytes(32, "little"))
+        self.state.update(y.to_bytes(32, "little"))
 
     def common_scalar(self, scalar: int) -> None:
         self.state.update(BLAKE2B_PREFIX_SCALAR)
@@ -86,11 +91,11 @@ class Blake2bRead:
 
     def read_point(self) -> G1:
         point = G1.from_bytes(self._take(32))
-        if point.is_identity:
-            raise ValueError("cannot read points at infinity from the transcript")
         self.state.update(BLAKE2B_PREFIX_POINT)
-        self.state.update(point.x.to_bytes(32, "little"))
-        self.state.update(point.y.to_bytes(32, "little"))
+        x = 0 if point.is_identity else point.x
+        y = 0 if point.is_identity else point.y
+        self.state.update(x.to_bytes(32, "little"))
+        self.state.update(y.to_bytes(32, "little"))
         return point
 
     def read_scalar(self) -> int:
@@ -104,11 +109,11 @@ class Blake2bRead:
         self.state.update((scalar % Fr.p).to_bytes(32, "little"))
 
     def common_point(self, point: G1) -> None:
-        if point.is_identity:
-            raise ValueError("cannot write points at infinity to the transcript")
         self.state.update(BLAKE2B_PREFIX_POINT)
-        self.state.update(point.x.to_bytes(32, "little"))
-        self.state.update(point.y.to_bytes(32, "little"))
+        x = 0 if point.is_identity else point.x
+        y = 0 if point.is_identity else point.y
+        self.state.update(x.to_bytes(32, "little"))
+        self.state.update(y.to_bytes(32, "little"))
 
     def squeeze_challenge(self) -> int:
         self.state.update(BLAKE2B_PREFIX_CHALLENGE)
