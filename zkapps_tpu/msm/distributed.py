@@ -23,19 +23,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..curve.jnp_point import G1_JNP
 from ..parallel.mesh import AXIS
-from .jnp_msm import _window_combine, _window_fn, default_window_bits, signed_digits
-
-
-def _local_msm(points, scalars_std, c):
-    g1 = G1_JNP
-    ids, negs = signed_digits(scalars_std, c)
-
-    def per_window(_, id_neg):
-        win_ids, win_negs = id_neg
-        return None, _window_fn(g1, points, win_ids, win_negs, c)
-
-    _, window_sums = jax.lax.scan(per_window, None, (ids, negs))
-    return _window_combine(g1, window_sums, c)
+from .jnp_msm import default_window_bits, msm_core
 
 
 def msm_sharded(mesh, points, scalars_std, c: int | None = None):
@@ -53,7 +41,7 @@ def msm_sharded(mesh, points, scalars_std, c: int | None = None):
         check_vma=False,
     )
     def run(pts, scs):
-        partial = _local_msm(pts, scs, c)  # (3,16) on each device
+        partial = msm_core(pts, scs, c)  # (3,16) on each device
         gathered = jax.lax.all_gather(partial, AXIS)  # (D,3,16)
         acc = gathered
         while acc.shape[0] > 1:

@@ -6,40 +6,51 @@ SURVEY.md §3.5) redesigned for SIMD:
 1. **Signed windows**: scalars (standard form, (n,16) 16-bit limbs) are split
    into ceil(256/c) signed base-2^c digits in [-2^(c-1), 2^(c-1)], so only
    2^(c-1) buckets per window and negation is a cheap Y-flip.
-2. **Conflict-free bucket accumulation**: per window, argsort point indices by
-   bucket id; at step k every bucket consumes its k-th point (positions
-   start[b]+k in sorted order) — one (B,)-wide gather + one complete point-add
-   per step, no scatters, no data-dependent shapes.  The loop bound is the max
-   bucket occupancy (a traced while_loop bound), so adversarial/duplicate
-   scalar distributions stay *correct*, merely slower — no silent overflow.
+2. **Flattened conflict-free bucket accumulation**: ALL windows' buckets live
+   in one (W * B) array keyed by w*B + |digit|; one argsort over the W*n
+   (window, point) pairs orders them by global bucket, and step k adds every
+   bucket's k-th point — a single (W*B)-wide gather + complete point-add per
+   step, so each step saturates the chip instead of looping windows.  The
+   loop bound is the max bucket occupancy (a traced while_loop bound):
+   degenerate/duplicate scalar distributions stay *correct*, merely slower.
 3. **Bucket reduction**: sum_b b*S_b = sum_j suffix_j(S) — two Hillis-Steele
-   suffix scans (log2(B) rounds of one full-width complete add each, shifted
-   via dynamic_slice into an identity-padded buffer; adding the identity is a
-   no-op under complete formulas, so no masking is needed).
+   suffix scans with static shifts, batched over all windows at once.
 4. **Window combine**: Horner over windows via lax.scan (c doublings + 1 add
-   per window).
-
-Graph-size note: every stage is expressed as lax.scan/fori_loop over a single
-point-op body, keeping the traced graph to a handful of field-mul
-instantiations — compile time stays flat in n and c.
+   per window); on the Pallas backend these tiny serial ops trace with
+   unrolled field graphs (fused kernels) to dodge per-iteration loop launch
+   latency.
 
 Everything is jittable end-to-end; the distributed version shards the point
-axis and psum-combines per-window bucket sums (msm/distributed.py).
+axis and all-reduces partial sums (msm/distributed.py).
 """
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
 import jax.numpy as jnp
 
 from ..curve.jnp_point import G1_JNP, JnpG1
+from ..fields.jnp_ops import get_backend, get_unroll, set_unroll
 from ..fields.limbs import LIMB_BITS, N_LIMBS
 
 
 def num_windows(c: int) -> int:
     return -(-256 // c)
+
+
+@contextlib.contextmanager
+def _unrolled_if_pallas():
+    """Small serial point ops fuse best as unrolled graphs on TPU."""
+    old = get_unroll()
+    if get_backend() == "pallas":
+        set_unroll(True)
+    try:
+        yield
+    finally:
+        set_unroll(old)
 
 
 def signed_digits(scalars: jnp.ndarray, c: int) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -73,65 +84,70 @@ def signed_digits(scalars: jnp.ndarray, c: int) -> tuple[jnp.ndarray, jnp.ndarra
 
 
 def _suffix_sums(g1: JnpG1, s: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive suffix sums over axis 0 (length power of two).
+    """Inclusive suffix sums over axis 0 (length power of two; extra batch
+    dims allowed).
 
-    Hillis-Steele: log2(B) rounds of x[i] += x[i+2^t], out-of-range reads
-    land in an identity pad (harmless under complete addition).
+    Hillis-Steele: log2(B) unrolled rounds of x[i] += x[i+2^t] with *static*
+    shifts (a traced-shift dynamic_slice version measured ~300x slower on
+    TPU); out-of-range reads land in an identity pad, harmless under complete
+    addition.
     """
     b = s.shape[0]
     log_b = b.bit_length() - 1
     assert 1 << log_b == b
-    ident = g1.identity_like((b,))
-    shifts = jnp.asarray([1 << t for t in range(log_b)], dtype=jnp.int32)
-
-    def body(x, shift):
-        xp = jnp.concatenate([x, ident], axis=0)
-        shifted = jax.lax.dynamic_slice_in_dim(xp, shift, b, axis=0)
-        return g1.add(x, shifted), None
-
-    x, _ = jax.lax.scan(body, s, shifts)
+    x = s
+    for t in range(log_b):
+        shift = 1 << t
+        ident = g1.identity_like((shift,) + s.shape[1:-2])
+        shifted = jnp.concatenate([x[shift:], ident], axis=0)
+        x = g1.add(x, shifted)
     return x
 
 
-def _window_fn(
-    g1: JnpG1, points: jnp.ndarray, ids: jnp.ndarray, neg: jnp.ndarray, c: int
+def _bucket_accumulate_all(
+    g1: JnpG1, points: jnp.ndarray, ids: jnp.ndarray, negs: jnp.ndarray, c: int
 ) -> jnp.ndarray:
-    """One window: bucket-accumulate + weighted reduce.  -> (3, 16)."""
+    """All windows at once -> (W, B-1, 3, 16) bucket sums (dump bucket dropped)."""
     n = points.shape[0]
-    n_buckets = (1 << (c - 1)) + 1
-    order = jnp.argsort(ids)
-    sorted_ids = ids[order]
-    bucket_range = jnp.arange(n_buckets, dtype=jnp.int32)
+    n_win = ids.shape[0]
+    b = (1 << (c - 1)) + 1
+    win_off = jnp.arange(n_win, dtype=jnp.int32)[:, None] * b
+    gids = (ids + win_off).reshape(-1)  # (W*n,)
+    negs_flat = negs.reshape(-1)
+    order = jnp.argsort(gids)
+    sorted_ids = gids[order]
+    bucket_range = jnp.arange(n_win * b, dtype=jnp.int32)
     start = jnp.searchsorted(sorted_ids, bucket_range)
     end = jnp.searchsorted(sorted_ids, bucket_range, side="right")
     count = end - start
-    max_count = jnp.max(jnp.where(bucket_range > 0, count, 0))
+    is_real = (bucket_range % b) != 0
+    max_count = jnp.max(jnp.where(is_real, count, 0))
+    total = n_win * n
 
-    buckets0 = g1.identity_like((n_buckets,))
+    buckets0 = g1.identity_like((n_win * b,))
 
     def body(k, buckets):
-        pos = jnp.clip(start + k, 0, n - 1)
-        pidx = order[pos]
-        pts = g1.cneg(neg[pidx], points[pidx])
-        valid = (k < count) & (bucket_range > 0)
+        pos = jnp.clip(start + k, 0, total - 1)
+        j = order[pos]
+        pts = g1.cneg(negs_flat[j], points[j % n])
+        valid = (k < count) & is_real
         return g1.select(valid, g1.add(buckets, pts), buckets)
 
     buckets = jax.lax.fori_loop(0, max_count, body, buckets0)
-    # sum_b b*S_b  =  sum_j suffix_j  where suffix_j = sum_{k>=j} S_{k+1}.
-    suffix = _suffix_sums(g1, buckets[1:])
-    return _suffix_sums(g1, suffix)[0]
+    return buckets.reshape(n_win, b, 3, N_LIMBS)[:, 1:]
 
 
 def _window_combine(g1: JnpG1, window_sums: jnp.ndarray, c: int) -> jnp.ndarray:
     """Horner over windows (MSB first): acc = 2^c * acc + W_w.  -> (3, 16)."""
-    acc0 = window_sums[-1]
+    with _unrolled_if_pallas():
+        acc0 = window_sums[-1]
 
-    def body(acc, w_sum):
-        acc = jax.lax.fori_loop(0, c, lambda _, a: g1.double(a), acc)
-        return g1.add(acc, w_sum), None
+        def body(acc, w_sum):
+            acc = jax.lax.fori_loop(0, c, lambda _, a: g1.double(a), acc)
+            return g1.add(acc, w_sum), None
 
-    acc, _ = jax.lax.scan(body, acc0, window_sums[:-1], reverse=True)
-    return acc
+        acc, _ = jax.lax.scan(body, acc0, window_sums[:-1], reverse=True)
+        return acc
 
 
 def default_window_bits(n: int) -> int:
@@ -143,6 +159,17 @@ def default_window_bits(n: int) -> int:
     return 16
 
 
+def msm_core(points: jnp.ndarray, scalars_std: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Traceable MSM body (used directly inside shard_map)."""
+    g1 = G1_JNP
+    ids, negs = signed_digits(scalars_std, c)
+    per_win = _bucket_accumulate_all(g1, points, ids, negs, c)  # (W, B-1, 3, 16)
+    arr = jnp.moveaxis(per_win, 0, 1)  # (B-1, W, 3, 16)
+    suffix = _suffix_sums(g1, arr)
+    window_sums = _suffix_sums(g1, suffix)[0]  # (W, 3, 16)
+    return _window_combine(g1, window_sums, c)
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def msm(points: jnp.ndarray, scalars_std: jnp.ndarray, c: int | None = None) -> jnp.ndarray:
     """Multi-scalar multiplication: sum_i scalars[i] * points[i].
@@ -150,15 +177,6 @@ def msm(points: jnp.ndarray, scalars_std: jnp.ndarray, c: int | None = None) -> 
     points: (n, 3, 16) projective Montgomery; scalars_std: (n, 16) standard
     form (NOT Montgomery).  Returns (3, 16) projective Montgomery.
     """
-    g1 = G1_JNP
-    n = points.shape[0]
     if c is None:
-        c = default_window_bits(n)
-    ids, negs = signed_digits(scalars_std, c)
-
-    def per_window(_, id_neg):
-        win_ids, win_negs = id_neg
-        return None, _window_fn(g1, points, win_ids, win_negs, c)
-
-    _, window_sums = jax.lax.scan(per_window, None, (ids, negs))
-    return _window_combine(g1, window_sums, c)
+        c = default_window_bits(points.shape[0])
+    return msm_core(points, scalars_std, c)
