@@ -97,6 +97,12 @@ class LimbField:
         self.one_mont = jnp.asarray(int_to_limbs(self.r % p), dtype=jnp.uint32)
         self.zero = jnp.zeros((N_LIMBS,), dtype=jnp.uint32)
         self._n0inv_dev = jnp.uint32(self.n0inv)
+        # Cached jitted entry points (mode flags are static cache keys).
+        self._mul_jit = jax.jit(self._mul_impl, static_argnums=(2, 3))
+        self._add_jit = jax.jit(self._add_impl, static_argnums=(2,))
+        self._sub_jit = jax.jit(self._sub_impl, static_argnums=(2,))
+        self._pow_jit = jax.jit(self._pow_impl, static_argnums=(1, 2, 3))
+        self._batch_inv_jit = jax.jit(self._batch_inv_impl, static_argnums=(1, 2))
 
     # ------------------------------------------------------------------
     # host <-> device encoding
@@ -126,10 +132,12 @@ class LimbField:
     # ------------------------------------------------------------------
     # core ops
     # ------------------------------------------------------------------
-    def _cond_sub_p(self, limbs: jnp.ndarray, top: jnp.ndarray) -> jnp.ndarray:
+    def _cond_sub_p(self, limbs: jnp.ndarray, top: jnp.ndarray, unroll: bool | None = None) -> jnp.ndarray:
         """Subtract p iff value (= limbs + top*2^256) >= p.  Input < 2p."""
         p = self.p_limbs
-        if _UNROLL:
+        if unroll is None:
+            unroll = _UNROLL
+        if unroll:
             borrow = jnp.zeros_like(limbs[..., 0])
             ds = []
             for j in range(N_LIMBS):
@@ -154,9 +162,16 @@ class LimbField:
         return jnp.where(ge[..., None], d, limbs)
 
     def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        """Montgomery product: a*b*R^{-1} mod p.  Shapes broadcast on batch dims."""
+        """Montgomery product: a*b*R^{-1} mod p.  Shapes broadcast on batch dims.
+
+        Dispatches through a cached jit keyed on the (unroll, backend) mode
+        flags — eager lax control flow re-traces per call, so un-jitted
+        looped ops are ~1000x slower than a cache hit."""
+        return self._mul_jit(a, b, _UNROLL, _BACKEND)
+
+    def _mul_impl(self, a, b, unroll: bool, backend: str) -> jnp.ndarray:
         a, b = jnp.broadcast_arrays(a, b)
-        if _BACKEND == "pallas":
+        if backend == "pallas":
             batch = 1
             for s in a.shape[:-1]:
                 batch *= s
@@ -164,7 +179,7 @@ class LimbField:
                 from .pallas_ops import mul_pallas_auto
 
                 return mul_pallas_auto(self, a, b)
-        if not _UNROLL:
+        if not unroll:
             return self._mul_looped(a, b)
         t = jnp.zeros(a.shape[:-1] + (N_LIMBS + 1,), dtype=jnp.uint32)
         p = self.p_limbs
@@ -189,7 +204,7 @@ class LimbField:
             carry = s >> _SHIFT
         top = t[..., N_LIMBS] + carry
         out = jnp.stack(limbs, axis=-1)
-        return self._cond_sub_p(out, top)
+        return self._cond_sub_p(out, top, True)
 
     def _mul_looped(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Same algorithm as mul() with the limb iterations as fori_loops."""
@@ -225,14 +240,17 @@ class LimbField:
             (jnp.zeros_like(t[..., 0]), jnp.zeros(a.shape, dtype=jnp.uint32)),
         )
         top = t[..., N_LIMBS] + carry
-        return self._cond_sub_p(out, top)
+        return self._cond_sub_p(out, top, False)
 
     def square(self, a: jnp.ndarray) -> jnp.ndarray:
         return self.mul(a, a)
 
     def add(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        return self._add_jit(a, b, _UNROLL)
+
+    def _add_impl(self, a, b, unroll: bool) -> jnp.ndarray:
         a, b = jnp.broadcast_arrays(a, b)
-        if _UNROLL:
+        if unroll:
             carry = jnp.zeros_like(a[..., 0])
             limbs = []
             for j in range(N_LIMBS):
@@ -252,11 +270,14 @@ class LimbField:
             carry, out = jax.lax.fori_loop(
                 0, N_LIMBS, body, (jnp.zeros_like(a[..., 0]), jnp.zeros_like(a))
             )
-        return self._cond_sub_p(out, carry)
+        return self._cond_sub_p(out, carry, unroll)
 
     def sub(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        return self._sub_jit(a, b, _UNROLL)
+
+    def _sub_impl(self, a, b, unroll: bool) -> jnp.ndarray:
         a, b = jnp.broadcast_arrays(a, b)
-        if _UNROLL:
+        if unroll:
             borrow = jnp.zeros_like(a[..., 0])
             limbs = []
             for j in range(N_LIMBS):
@@ -331,6 +352,9 @@ class LimbField:
     # ------------------------------------------------------------------
     def pow_const(self, a: jnp.ndarray, e: int) -> jnp.ndarray:
         """a^e for a *static* Python-int exponent, via scan over bits (MSB first)."""
+        return self._pow_jit(a, e, _UNROLL, _BACKEND)
+
+    def _pow_impl(self, a, e: int, unroll: bool, backend: str) -> jnp.ndarray:
         if e == 0:
             return jnp.broadcast_to(self.one_mont, a.shape)
         nbits = e.bit_length()
@@ -351,6 +375,9 @@ class LimbField:
         return self.pow_const(a, self.p - 2)
 
     def batch_inv(self, a: jnp.ndarray) -> jnp.ndarray:
+        return self._batch_inv_jit(a, _UNROLL, _BACKEND)
+
+    def _batch_inv_impl(self, a, unroll: bool, backend: str) -> jnp.ndarray:
         """Montgomery-trick batch inversion along the leading axis.
 
         Zero entries map to zero.  Cost: 2 associative scans + 1 pow + O(n) muls.

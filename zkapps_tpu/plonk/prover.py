@@ -12,8 +12,21 @@ Protocol order: publics -> [A] -> beta,gamma -> [Z] -> y -> [h0,h1,h2] -> x
 
 from __future__ import annotations
 
+import os
+import sys
+import time
+
 import jax.numpy as jnp
 import numpy as np
+
+_TIMING = os.environ.get("ZKTPU_TIMING") == "1"
+
+
+def _mark(label: str, t0: list):
+    if _TIMING:
+        now = time.time()
+        print(f"  prove[{label}] +{now - t0[0]:.1f}s", file=sys.stderr, flush=True)
+        t0[0] = now
 
 from ..circuit.context import Context
 from ..fields.host import Fr
@@ -39,6 +52,7 @@ def _prefix_product(vals: jnp.ndarray) -> jnp.ndarray:
 
 
 def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False) -> bytes:
+    t0 = [time.time()]
     n, log_n = pk.n, pk.log_n
     plan = get_plan(log_n)
     ext_plan = get_plan(log_n + 2)
@@ -58,8 +72,10 @@ def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False) -> bytes:
     for v in publics:
         transcript.common_scalar(v)
 
+    _mark("encode+intt", t0)
     a_comm = pk.kzg.commit(a_coeffs)
     transcript.write_point(a_comm)
+    _mark("commit A", t0)
 
     beta = transcript.squeeze_challenge()
     gamma = transcript.squeeze_challenge()
@@ -78,9 +94,11 @@ def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False) -> bytes:
     if debug_checks:
         total = FR.decode_scalar(prefix[-1])
         assert total == 1, f"grand product does not telescope: {total}"
+    _mark("grand product", t0)
     z_coeffs = plan.inverse(z_vals)
     z_comm = pk.kzg.commit(z_coeffs)
     transcript.write_point(z_comm)
+    _mark("commit Z", t0)
 
     y = transcript.squeeze_challenge()
     y_m = FR.encode_scalar(y)[None]
@@ -121,6 +139,7 @@ def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False) -> bytes:
         combined = FR.add(FR.mul(combined, y_m), c)
     h_evals = FR.mul(combined, pk.zh_inv_coset)
     h_coeffs = ext_plan.coset_inverse(h_evals)
+    _mark("quotient", t0)
     if debug_checks:
         tail = FR.decode(h_coeffs[2 * n :])
         assert all(t == 0 for t in tail), "quotient degree exceeds 2n"
@@ -128,6 +147,7 @@ def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False) -> bytes:
     # exactly two n-sized chunks.
     h_chunks = [h_coeffs[i * n : (i + 1) * n] for i in range(2)]
     h_comms = [pk.kzg.commit(h) for h in h_chunks]
+    _mark("commit H", t0)
     for comm in h_comms:
         transcript.write_point(comm)
 
@@ -163,12 +183,14 @@ def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False) -> bytes:
         evals[(name, "w3x")] = pk.kzg.eval_poly(polys[name], points["w3x"])
     for key in _eval_write_order():
         transcript.write_scalar(evals[key])
+    _mark("evals", t0)
 
     # -- multiopen --------------------------------------------------------
     poly_list = list(polys.values())
     poly_idx = {name: i for i, name in enumerate(polys)}
     queries = _multiopen_queries(points, poly_idx, evals)
     pk.kzg.multiopen_prove(transcript, poly_list, queries)
+    _mark("multiopen", t0)
     return transcript.finalize()
 
 
