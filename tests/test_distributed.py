@@ -9,7 +9,7 @@ import pytest
 
 from zkapps_tpu.curve import G1, G1_JNP, g1_msm
 from zkapps_tpu.fields import FR, Fr
-from zkapps_tpu.msm.distributed import msm_sharded
+from zkapps_tpu.msm.distributed import msm_bucket_exchange, msm_sharded
 from zkapps_tpu.ntt import ntt_host
 from zkapps_tpu.ntt.distributed import DistributedNTT, powers_batched
 from zkapps_tpu.parallel import make_mesh, shard_leading
@@ -40,6 +40,31 @@ def test_msm_sharded_matches_host(mesh):
     pa = shard_leading(mesh, G1_JNP.encode(points))
     sa = shard_leading(mesh, FR.encode(scalars, mont=False))
     out = msm_sharded(mesh, pa, sa, c=8)
+    assert G1_JNP.decode(np.asarray(out)[None])[0] == g1_msm(points, scalars)
+
+
+def test_msm_bucket_exchange_matches_host(mesh):
+    n = 64
+    points = [G.mul(random.randrange(1, Fr.p)) for _ in range(n)]
+    scalars = [random.randrange(Fr.p) for _ in range(n)]
+    scalars[3] = 0
+    scalars[4] = scalars[5]  # duplicate digits stress the bucket loop
+    pa = shard_leading(mesh, G1_JNP.encode(points))
+    sa = shard_leading(mesh, FR.encode(scalars, mont=False))
+    out = msm_bucket_exchange(mesh, pa, sa, c=8)  # W=32 over D=8 devices
+    assert G1_JNP.decode(np.asarray(out)[None])[0] == g1_msm(points, scalars)
+
+
+def test_msm_bucket_exchange_window_padding(mesh):
+    # c=10 -> 26 windows, not divisible by 8: exercises identity padding.
+    # (Kept small: XLA:CPU's collective rendezvous has a hard 40s timeout
+    # and 8 partition threads share 2 sandbox cores.)
+    n = 32
+    points = [G.mul(random.randrange(1, Fr.p)) for _ in range(n)]
+    scalars = [random.randrange(Fr.p) for _ in range(n)]
+    pa = shard_leading(mesh, G1_JNP.encode(points))
+    sa = shard_leading(mesh, FR.encode(scalars, mont=False))
+    out = msm_bucket_exchange(mesh, pa, sa, c=10)
     assert G1_JNP.decode(np.asarray(out)[None])[0] == g1_msm(points, scalars)
 
 

@@ -196,8 +196,24 @@ def test_update_note_circuit_full():
         witness["merkle_root"],
         nullifier_old,
     ]
-    # circuit size documented: drives the 2^18 proving domain
-    assert ctx.num_rows < (1 << 18) - 4
+    # Poseidon custom gate: 18 permutations (4 hashes of 4 elts = 2 perms
+    # each + 10 merkle levels) x 65 rows; drives a 2^12 proving domain
+    # (vs 2^18 for the flat lowering).
+    assert ctx.p_num_rows == 18 * 65
+    assert max(ctx.num_rows, ctx.p_num_rows) < (1 << 12) - 4
+
+
+def test_update_note_flat_lowering_matches_gate():
+    witness, _ = build_full_witness()
+    ctx_gate = build_update_note_circuit(**witness)
+    ctx_flat = build_update_note_circuit(**witness, poseidon_gate=False)
+    check_circuit(ctx_flat)
+    assert ctx_flat.p_num_rows == 0
+    assert ctx_flat.num_rows < (1 << 18) - 4
+    # identical public-input vectors from both lowerings
+    pubs_gate = [ctx_gate.advice[c] % P for c in ctx_gate.publics]
+    pubs_flat = [ctx_flat.advice[c] % P for c in ctx_flat.publics]
+    assert pubs_gate == pubs_flat
 
 
 def test_update_note_circuit_withdraw():

@@ -17,6 +17,21 @@ PLONKish shape produced:
   - copy constraints (cell equalities) -> permutation argument
   - public inputs: copies between advice cells and the instance column
 
+Optionally (``poseidon_gate=True``) five extra advice columns p0..p4 carry
+Poseidon T=5 permutation state in a row-pair layout — one full round per row
+under a degree-6 custom identity (selectors q_pf/q_pp, fixed round-constant
+columns rc0..rc4):
+
+    q_pf(X) * ( p_j(wX) - sum_i MDS[j][i] * (p_i(X) + rc_i(X))^5 ) = 0
+    q_pp(X) * ( p_j(wX) - ( MDS[j][0]*(p_0+rc_0)^5
+                            + sum_{i>=1} MDS[j][i]*(p_i(X)+rc_i(X)) ) ) = 0
+
+This shrinks one Poseidon permutation from ~7.5k flat-gate rows to 65 rows
+(NOTES.md fast-path 4); the reference's halo2-base lowers the same hash to
+~300 gate rows per permutation via its own custom region.  Sponge inputs and
+outputs cross between the ``a`` column and the p columns through copy
+constraints (``p_copies``).
+
 Builder ops mirror halo2-base GateChip's surface used by the reference
 relations: add/sub/mul/mul_add/is_zero/is_equal/select/assert_is_const
 (merkle_proof.rs:53-60, update_account.rs verify fns).
@@ -29,6 +44,8 @@ from dataclasses import dataclass, field
 from ..fields.host import Fr
 
 P = Fr.p
+
+N_POSEIDON_COLS = 5  # T_WIDTH
 
 
 @dataclass(frozen=True)
@@ -49,6 +66,25 @@ class Context:
     copies: list[tuple[int, int]] = field(default_factory=list)  # equal-cell pairs
     publics: list[int] = field(default_factory=list)  # advice cell idx per public input
     _const_cache: dict[int, int] = field(default_factory=dict)
+    # -- Poseidon custom-gate region (used when poseidon_gate=True) --------
+    poseidon_gate: bool = False
+    p_cols: list[list[int]] = field(default_factory=lambda: [[] for _ in range(N_POSEIDON_COLS)])
+    q_pf_rows: list[int] = field(default_factory=list)  # full-round rows
+    q_pp_rows: list[int] = field(default_factory=list)  # partial-round rows
+    rc_rows: list[tuple[int, tuple[int, ...]]] = field(default_factory=list)  # (row, rc[0..4])
+    # (p_col, p_row) <-> a-cell equalities (sponge input/output wiring)
+    p_copies: list[tuple[tuple[int, int], int]] = field(default_factory=list)
+
+    @property
+    def p_num_rows(self) -> int:
+        return len(self.p_cols[0])
+
+    def append_p_row(self, values: list[int]) -> int:
+        """Append one row of Poseidon state; returns the row index."""
+        row = len(self.p_cols[0])
+        for c in range(N_POSEIDON_COLS):
+            self.p_cols[c].append(values[c] % P)
+        return row
 
     # -- cell allocation -------------------------------------------------
     def load_witness(self, value: int) -> AssignedValue:

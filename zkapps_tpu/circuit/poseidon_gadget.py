@@ -43,6 +43,11 @@ class PoseidonGadget:
         return out
 
     def permute(self, state: list[AssignedValue]) -> list[AssignedValue]:
+        if self.ctx.poseidon_gate:
+            return self._permute_gate(state)
+        return self._permute_flat(state)
+
+    def _permute_flat(self, state: list[AssignedValue]) -> list[AssignedValue]:
         g = self.gate
         r_f_half = R_F // 2
         rnd = 0
@@ -63,6 +68,40 @@ class PoseidonGadget:
             s = self._mix(s)
             rnd += 1
         return s
+
+    def _permute_gate(self, state: list[AssignedValue]) -> list[AssignedValue]:
+        """Custom-gate path: 65 rows in the p columns (context.py docstring).
+
+        Row k holds the state entering round k; the degree-6 row identity
+        carries it to row k+1.  Inputs/outputs cross to the flat column via
+        p_copies."""
+        ctx = self.ctx
+        r_f_half = R_F // 2
+        n_rounds = R_F + R_P
+        vals = [s.value % P for s in state]
+        row0 = ctx.append_p_row(vals)
+        for i, cell in enumerate(state):
+            ctx.p_copies.append(((i, row0), cell.index))
+        for rnd in range(n_rounds):
+            row = row0 + rnd
+            is_full = rnd < r_f_half or rnd >= r_f_half + R_P
+            (ctx.q_pf_rows if is_full else ctx.q_pp_rows).append(row)
+            ctx.rc_rows.append((row, tuple(self.rc[rnd])))
+            # native round (same math as hash.poseidon host reference)
+            t = [(v + c) % P for v, c in zip(vals, self.rc[rnd])]
+            if is_full:
+                t = [pow(x, 5, P) for x in t]
+            else:
+                t[0] = pow(t[0], 5, P)
+            vals = [sum(self.mds[j][i] * t[i] for i in range(T_WIDTH)) % P for j in range(T_WIDTH)]
+            ctx.append_p_row(vals)
+        out_row = row0 + n_rounds
+        outs = []
+        for i, v in enumerate(vals):
+            cell = ctx.load_witness(v)
+            ctx.p_copies.append(((i, out_row), cell.index))
+            outs.append(cell)
+        return outs
 
     # -- fixed-length sponge (pse-poseidon semantics) ---------------------
     def hash_fix_len_array(self, inputs: list[AssignedValue]) -> AssignedValue:

@@ -159,15 +159,27 @@ def default_window_bits(n: int) -> int:
     return 16
 
 
-def msm_core(points: jnp.ndarray, scalars_std: jnp.ndarray, c: int) -> jnp.ndarray:
-    """Traceable MSM body (used directly inside shard_map)."""
+def msm_buckets(points: jnp.ndarray, scalars_std: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Pippenger phase 1: per-window bucket sums, (W, B-1, 3, 16)."""
     g1 = G1_JNP
     ids, negs = signed_digits(scalars_std, c)
-    per_win = _bucket_accumulate_all(g1, points, ids, negs, c)  # (W, B-1, 3, 16)
-    arr = jnp.moveaxis(per_win, 0, 1)  # (B-1, W, 3, 16)
+    return _bucket_accumulate_all(g1, points, ids, negs, c)
+
+
+def window_sums_of(buckets: jnp.ndarray) -> jnp.ndarray:
+    """Pippenger phase 2: sum_b b*S_b per window via double suffix scan.
+
+    buckets (W, B-1, 3, 16) -> (W, 3, 16)."""
+    g1 = G1_JNP
+    arr = jnp.moveaxis(buckets, 0, 1)  # (B-1, W, 3, 16)
     suffix = _suffix_sums(g1, arr)
-    window_sums = _suffix_sums(g1, suffix)[0]  # (W, 3, 16)
-    return _window_combine(g1, window_sums, c)
+    return _suffix_sums(g1, suffix)[0]
+
+
+def msm_core(points: jnp.ndarray, scalars_std: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Traceable MSM body (used directly inside shard_map)."""
+    window_sums = window_sums_of(msm_buckets(points, scalars_std, c))
+    return _window_combine(G1_JNP, window_sums, c)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))

@@ -12,6 +12,18 @@ combined with powers of challenge v, per-point witnesses W_j are committed,
 and the verifier checks the u-combined double pairing
 
     e(sum_j u^j W_j, [s]G2)  ==  e(sum_j u^j (z_j W_j + F_j - e_j G1), G2).
+
+SHPLONK (BDFG20, halo2_proofs' ProverSHPLONK — the reference's other
+multiopen; SURVEY.md §2.2 X2) is also provided: polys are grouped into
+rotation sets by their point set S_k, combined within sets by powers of y
+and across sets by powers of v; a single witness
+
+    h = [ sum_k v^k Z_{T \\ S_k} (q_k - r_k) ] / Z_T          -> commit W
+    L(X) = sum_k v^k Z_{T\\S_k}(u) (q_k(X) - r_k(u)) - Z_T(u) h(X)
+    W' = commit(L / (X - u)),   check e([L] + u W', G2) == e(W', [s]G2)
+
+— two proof points total regardless of the number of queries (vs one per
+point for GWC).
 """
 
 from __future__ import annotations
@@ -40,6 +52,62 @@ def _tree_sum(f, x):
     return x[0]
 
 
+# -- host polynomial helpers for SHPLONK (tiny degrees, int arithmetic) ----
+def _poly_mul_host(a: list[int], b: list[int]) -> list[int]:
+    out = [0] * (len(a) + len(b) - 1)
+    for i, ai in enumerate(a):
+        for j, bj in enumerate(b):
+            out[i + j] = (out[i + j] + ai * bj) % Fr.p
+    return out
+
+
+def _interp_coeffs(points: list[tuple[int, int]]) -> list[int]:
+    """Lagrange interpolation through (z, y) pairs -> ascending coefficients."""
+    p = Fr.p
+    out = [0] * len(points)
+    for j, (zj, yj) in enumerate(points):
+        num = [1]
+        den = 1
+        for m, (zm, _) in enumerate(points):
+            if m == j:
+                continue
+            num = _poly_mul_host(num, [(-zm) % p, 1])
+            den = den * (zj - zm) % p
+        scale = yj * pow(den, p - 2, p) % p
+        for i, c in enumerate(num):
+            out[i] = (out[i] + scale * c) % p
+    return out
+
+
+def _poly_eval_host(coeffs: list[int], x: int) -> int:
+    acc = 0
+    for c in reversed(coeffs):
+        acc = (acc * x + c) % Fr.p
+    return acc
+
+
+def _rotation_sets(queries):
+    """Group polys by their point set (halo2 rotation sets).
+
+    queries: [(z, [(poly_idx, y), ...]), ...] ->
+    [(points: [z...], members: [(poly_idx, [(z, y)...])...]), ...], with
+    deterministic ordering (poly index, then first appearance) so prover and
+    verifier derive identical groupings."""
+    by_poly: dict[int, list[tuple[int, int]]] = {}
+    for z, opens in queries:
+        for idx, yv in opens:
+            by_poly.setdefault(idx, []).append((z, yv))
+    sets: dict[tuple[int, ...], list] = {}
+    order: list[tuple[int, ...]] = []
+    for idx in sorted(by_poly):
+        pts = tuple(z for z, _ in by_poly[idx])
+        if pts not in sets:
+            sets[pts] = []
+            order.append(pts)
+        sets[pts].append((idx, by_poly[idx]))
+    return [(list(pts), sets[pts]) for pts in order]
+
+
 class KZG:
     def __init__(self, srs: SRS, log_n: int):
         assert (1 << log_n) <= srs.n
@@ -47,8 +115,25 @@ class KZG:
         self.log_n = log_n
         self.n = 1 << log_n
         self.plan = get_plan(log_n)
-        # Full domain power table [omega^i] for quotient denominators.
-        self.domain = powers_device(FR, FR.encode_scalar(self.plan.omega), self.n)
+        # Full domain power table [omega^i] for quotient denominators,
+        # cached per domain size (blinded polys exceed degree n-1).
+        self._domains: dict[int, jnp.ndarray] = {}
+
+    def _domain(self, log_m: int) -> jnp.ndarray:
+        if log_m not in self._domains:
+            plan = get_plan(log_m)
+            self._domains[log_m] = powers_device(
+                FR, FR.encode_scalar(plan.omega), 1 << log_m
+            )
+        return self._domains[log_m]
+
+    @staticmethod
+    def _log_size(length: int, floor_log: int) -> int:
+        """Smallest log2 domain >= max(length, 2^floor_log)."""
+        log_m = floor_log
+        while (1 << log_m) < length:
+            log_m += 1
+        return log_m
 
     # -- core ops --------------------------------------------------------
     def commit(self, coeffs_mont: jnp.ndarray) -> G1:
@@ -58,28 +143,36 @@ class KZG:
         return G1_JNP.decode(out[None])[0]
 
     def eval_poly(self, coeffs_mont: jnp.ndarray, z: int) -> int:
-        """f(z) via power-table dot + tree reduction."""
-        zpows = powers_device(FR, FR.encode_scalar(z), self.n)
+        """f(z) via power-table dot + tree reduction (any length <= srs.n)."""
+        m = 1 << self._log_size(coeffs_mont.shape[0], 0)
+        zpows = powers_device(FR, FR.encode_scalar(z), m)
         prod = FR.mul(coeffs_mont, zpows[: coeffs_mont.shape[0]])
+        if prod.shape[0] < m:
+            pad = jnp.zeros((m - prod.shape[0], prod.shape[1]), dtype=prod.dtype)
+            prod = jnp.concatenate([prod, pad], axis=0)
         return FR.decode_scalar(_tree_sum(FR, prod))
 
     def quotient(self, coeffs_mont: jnp.ndarray, z: int, y: int) -> jnp.ndarray:
-        """(f(X) - y) / (X - z) as (n,16) Montgomery coefficients.
+        """(f(X) - y) / (X - z) as (m,16) Montgomery coefficients.
 
-        Requires z outside the evaluation domain (true w.h.p. for
-        transcript challenges).
+        Works for any degree (domain auto-sized to the next power of two >=
+        len(coeffs)).  Requires z outside that evaluation domain (true w.h.p.
+        for transcript challenges).
         """
         f = FR
         coeffs = coeffs_mont
-        if coeffs.shape[0] < self.n:
-            pad = jnp.zeros((self.n - coeffs.shape[0], coeffs.shape[1]), dtype=coeffs.dtype)
+        log_m = self._log_size(coeffs.shape[0], self.log_n)
+        m = 1 << log_m
+        plan = get_plan(log_m)
+        if coeffs.shape[0] < m:
+            pad = jnp.zeros((m - coeffs.shape[0], coeffs.shape[1]), dtype=coeffs.dtype)
             coeffs = jnp.concatenate([coeffs, pad], axis=0)
-        evals = self.plan.forward(coeffs)
+        evals = plan.forward(coeffs)
         y_m = f.encode_scalar(y)
         z_m = f.encode_scalar(z)
-        denom = f.sub(self.domain, z_m[None])
+        denom = f.sub(self._domain(log_m), z_m[None])
         q_evals = f.mul(f.sub(evals, y_m[None]), f.batch_inv(denom))
-        return self.plan.inverse(q_evals)
+        return plan.inverse(q_evals)
 
     def open_single(self, coeffs_mont: jnp.ndarray, z: int) -> tuple[int, G1]:
         """Returns (y = f(z), witness commitment W)."""
@@ -103,16 +196,26 @@ class KZG:
         queries: list[tuple[int, list[tuple[int, int]]]],
     ) -> None:
         """queries: [(z, [(poly_idx, y), ...]), ...]; y values must already be
-        in the transcript (written by the outer protocol)."""
+        in the transcript (written by the outer protocol).  Polys may have
+        different lengths (blinded polys exceed n coeffs); each point's
+        combination pads to the longest member."""
         v = transcript.squeeze_challenge()
+
+        def padded(poly: jnp.ndarray, m: int) -> jnp.ndarray:
+            if poly.shape[0] >= m:
+                return poly
+            pad = jnp.zeros((m - poly.shape[0], poly.shape[1]), dtype=poly.dtype)
+            return jnp.concatenate([poly, pad], axis=0)
+
         witnesses = []
         for z, opens in queries:
             # h = sum_i v^i * poly_i  (i = order within this point's list)
+            m = max(polys[poly_idx].shape[0] for poly_idx, _ in opens)
             h = None
             vi = 1
             y_comb = 0
             for poly_idx, y in opens:
-                term = FR.mul(polys[poly_idx], FR.encode_scalar(vi)[None])
+                term = FR.mul(padded(polys[poly_idx], m), FR.encode_scalar(vi)[None])
                 h = term if h is None else FR.add(h, term)
                 y_comb = (y_comb + vi * y) % Fr.p
                 vi = vi * v % Fr.p
@@ -148,3 +251,147 @@ class KZG:
             uj = uj * u % Fr.p
         # e(w_comb, sG2) == e(rhs_comb, G2)
         return pairing_check([(w_comb, self.srs.s_g2), (rhs_comb.neg(), self.srs.g2)])
+
+    # -- SHPLONK (BDFG20) multiopen ----------------------------------------
+    def multiopen_prove_shplonk(
+        self,
+        transcript: Blake2bWrite,
+        polys: list[jnp.ndarray],
+        queries: list[tuple[int, list[tuple[int, int]]]],
+    ) -> None:
+        """Two-point multiopen (module docstring).  y values must already be
+        in the transcript."""
+        p = Fr.p
+        y = transcript.squeeze_challenge()
+        v = transcript.squeeze_challenge()
+        sets = _rotation_sets(queries)
+        t_points: list[int] = []
+        for z, _ in queries:
+            if z not in t_points:
+                t_points.append(z)
+
+        max_len = max(poly.shape[0] for poly in polys)
+        # f_agg degree <= (max_len - 1) + |T| - 1; domain must hold it.
+        log_m = self._log_size(max_len + len(t_points), self.log_n)
+        m = 1 << log_m
+        plan = get_plan(log_m)
+        dom = self._domain(log_m)
+
+        def padded(poly, length):
+            if poly.shape[0] >= length:
+                return poly[:length]
+            pad = jnp.zeros((length - poly.shape[0], poly.shape[1]), dtype=poly.dtype)
+            return jnp.concatenate([poly, pad], axis=0)
+
+        def small_poly_evals(coeffs_host: list[int]) -> jnp.ndarray:
+            """Evaluate an ascending small host poly on the whole domain."""
+            acc = jnp.broadcast_to(FR.encode_scalar(coeffs_host[-1] % p), dom.shape)
+            for c in reversed(coeffs_host[:-1]):
+                acc = FR.add(FR.mul(acc, dom), FR.encode_scalar(c % p)[None])
+            return acc
+
+        f_agg = None
+        q_coeffs_per_set = []
+        r_u_coeffs_per_set = []  # host coeffs of r_k, reused for r_k(u)
+        vk_pow = 1
+        for pts, members in sets:
+            # q_k = sum_i y^i f_i (coefficients), r_k = sum_i y^i interp_i
+            q_k = None
+            yi = 1
+            r_k = [0] * len(pts)
+            for idx, zy in members:
+                term = FR.mul(padded(polys[idx], max_len), FR.encode_scalar(yi)[None])
+                q_k = term if q_k is None else FR.add(q_k, term)
+                for ci, c in enumerate(_interp_coeffs(zy)):
+                    r_k[ci] = (r_k[ci] + yi * c) % p
+                yi = yi * y % p
+            q_coeffs_per_set.append(q_k)
+            r_u_coeffs_per_set.append(r_k)
+            q_evals = plan.forward(padded(q_k, m))
+            r_evals = small_poly_evals(r_k)
+            diff = FR.sub(q_evals, r_evals)
+            # Z_{T \ S_k} on the domain
+            for z in t_points:
+                if z not in pts:
+                    diff = FR.mul(diff, FR.sub(dom, FR.encode_scalar(z)[None]))
+            term = FR.mul(diff, FR.encode_scalar(vk_pow)[None])
+            f_agg = term if f_agg is None else FR.add(f_agg, term)
+            vk_pow = vk_pow * v % p
+
+        zt_evals = None
+        for z in t_points:
+            fac = FR.sub(dom, FR.encode_scalar(z)[None])
+            zt_evals = fac if zt_evals is None else FR.mul(zt_evals, fac)
+        h_evals = FR.mul(f_agg, FR.batch_inv(zt_evals))
+        h_coeffs = plan.inverse(h_evals)[:max_len]
+        w_comm = self.commit(h_coeffs)
+        transcript.write_point(w_comm)
+
+        u = transcript.squeeze_challenge()
+        # L(X) = sum_k v^k Z_{T\S_k}(u) (q_k(X) - r_k(u)) - Z_T(u) h(X)
+        l_coeffs = None
+        vk_pow = 1
+        for (pts, members), q_k, r_k in zip(sets, q_coeffs_per_set, r_u_coeffs_per_set):
+            zt_sk_u = 1
+            for z in t_points:
+                if z not in pts:
+                    zt_sk_u = zt_sk_u * (u - z) % p
+            scale = vk_pow * zt_sk_u % p
+            term = FR.mul(q_k, FR.encode_scalar(scale)[None])
+            r_const = scale * _poly_eval_host(r_k, u) % p
+            term = jnp.concatenate(
+                [FR.sub(term[:1], FR.encode_scalar(r_const)[None]), term[1:]], axis=0
+            )
+            l_coeffs = term if l_coeffs is None else FR.add(l_coeffs, term)
+            vk_pow = vk_pow * v % p
+        zt_u = 1
+        for z in t_points:
+            zt_u = zt_u * (u - z) % p
+        l_coeffs = FR.sub(l_coeffs, FR.mul(h_coeffs, FR.encode_scalar(zt_u)[None]))
+        w2 = self.commit(self.quotient(l_coeffs, u, 0))
+        transcript.write_point(w2)
+
+    def multiopen_verify_shplonk(
+        self,
+        transcript: Blake2bRead,
+        commitments: list[G1],
+        queries: list[tuple[int, list[tuple[int, int]]]],
+    ) -> bool:
+        p = Fr.p
+        y = transcript.squeeze_challenge()
+        v = transcript.squeeze_challenge()
+        sets = _rotation_sets(queries)
+        t_points: list[int] = []
+        for z, _ in queries:
+            if z not in t_points:
+                t_points.append(z)
+        w_comm = transcript.read_point()
+        u = transcript.squeeze_challenge()
+        w2 = transcript.read_point()
+
+        l_comm = G1.identity()
+        vk_pow = 1
+        for pts, members in sets:
+            q_comm = G1.identity()
+            yi = 1
+            r_u = 0
+            for idx, zy in members:
+                q_comm = q_comm.add(commitments[idx].mul(yi))
+                r_u = (r_u + yi * _poly_eval_host(_interp_coeffs(zy), u)) % p
+                yi = yi * y % p
+            zt_sk_u = 1
+            for z in t_points:
+                if z not in pts:
+                    zt_sk_u = zt_sk_u * (u - z) % p
+            scale = vk_pow * zt_sk_u % p
+            term = q_comm.add(G1.generator().mul(r_u).neg()).mul(scale)
+            l_comm = l_comm.add(term)
+            vk_pow = vk_pow * v % p
+        zt_u = 1
+        for z in t_points:
+            zt_u = zt_u * (u - z) % p
+        l_comm = l_comm.add(w_comm.mul(zt_u).neg())
+        # L(u) = 0:  e([L] + u W', G2) == e(W', [s]G2)
+        return pairing_check(
+            [(l_comm.add(w2.mul(u)), self.srs.g2), (w2.neg(), self.srs.s_g2)]
+        )

@@ -1,16 +1,29 @@
 """PLONK key generation for the flat-Context constraint system.
 
-Builds the fixed polynomials (selectors, constants, permutation sigmas) from
-a circuit *layout* (the structure of a built Context — gate rows, constant
-rows, copy constraints, public positions; witness values are ignored), commits
-them into the verifying key, and precomputes the device-side tables the
-prover's quotient computation needs (coset x-values, Z_H^{-1}, L_0).
+Builds the fixed polynomials (selectors, constants, round constants,
+permutation sigmas) from a circuit *layout* (the structure of a built
+Context — gate rows, constant rows, Poseidon rows, copy constraints, public
+positions; witness values are ignored), commits them into the verifying key,
+and precomputes the device-side tables the prover's quotient computation
+needs (coset x-values, Z_H^{-1}, L_0, L_last).
+
+Column layout (c = column index for permutation labels delta^c * omega^row):
+  plain circuits:     [a, instance]
+  poseidon circuits:  [a, p0..p4, instance]
 
 Permutation argument follows halo2's convention: cell (col, row) gets the
-label delta^col * omega^row with delta = g^(2^two_adicity) (an element outside
-the evaluation subgroup, so column labels never collide); copy constraints
+label delta^col * omega^row with delta = g^(2^two_adicity); copy constraints
 become cycles and sigma_col(row) is the label of the next cell in the cycle.
-Columns: 0 = advice, 1 = instance.
+When the Poseidon gate is active the per-row product over 7 columns would
+exceed the quotient degree budget, so columns are split into chunks with one
+running product z_k each (halo2's permutation_chunk_len mechanism):
+chunk constraints are gated by (1 - L_last), chunk k+1 starts at chunk k's
+last value (l_0 * (z_{k+1} - z_k(w^{n-1} X))), and the final product is
+pinned by L_last * (z_last - 1).  Plain circuits keep the single full-wrap
+chunk (no gating; the wraparound row enforces the telescope).
+
+Quotient extension: degree-3 gates fit a 4n coset; the degree-6 Poseidon
+identity needs 8n (ext_log = log_n + 3).
 """
 
 from __future__ import annotations
@@ -20,7 +33,7 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
-from ..circuit.context import Context
+from ..circuit.context import N_POSEIDON_COLS, Context
 from ..curve.host import G1
 from ..fields.host import Fr
 from ..fields.jnp_ops import FR
@@ -41,6 +54,12 @@ class CircuitLayout:
     const_rows: tuple[tuple[int, int], ...]
     copies: tuple[tuple[int, int], ...]
     num_publics: int
+    poseidon: bool = False
+    p_num_rows: int = 0
+    q_pf_rows: tuple[int, ...] = ()
+    q_pp_rows: tuple[int, ...] = ()
+    rc_rows: tuple[tuple[int, tuple[int, ...]], ...] = ()
+    p_copies: tuple[tuple[tuple[int, int], int], ...] = ()
 
     @staticmethod
     def of(ctx: Context) -> "CircuitLayout":
@@ -50,6 +69,12 @@ class CircuitLayout:
             const_rows=tuple(ctx.const_rows),
             copies=tuple(ctx.copies),
             num_publics=len(ctx.publics),
+            poseidon=ctx.poseidon_gate and ctx.p_num_rows > 0,
+            p_num_rows=ctx.p_num_rows,
+            q_pf_rows=tuple(ctx.q_pf_rows),
+            q_pp_rows=tuple(ctx.q_pp_rows),
+            rc_rows=tuple(ctx.rc_rows),
+            p_copies=tuple(ctx.p_copies),
         )
 
 
@@ -59,7 +84,35 @@ class PlonkVK:
     n: int
     omega: int
     num_publics: int
-    commitments: dict[str, G1]  # q_a, q_c, f, sigma_a, sigma_pi
+    commitments: dict[str, G1]  # all fixed polys (selectors, constants, sigmas)
+    multiopen: str = "gwc"  # 'gwc' | 'shplonk' (halo2_proofs offers both)
+    poseidon: bool = False
+
+    @property
+    def advice_names(self) -> list[str]:
+        return ["a"] + ([f"p{i}" for i in range(N_POSEIDON_COLS)] if self.poseidon else [])
+
+    @property
+    def num_cols(self) -> int:
+        """Permutation columns: advice + instance."""
+        return len(self.advice_names) + 1
+
+    @property
+    def chunks(self) -> list[list[int]]:
+        """Permutation column chunks (instance = last column index)."""
+        if self.poseidon:
+            return [[0, 1, 2, 3, 4], [5, 6]]
+        return [[0, 1]]
+
+    @property
+    def ext_log_add(self) -> int:
+        return 3 if self.poseidon else 2
+
+    @property
+    def num_h_chunks(self) -> int:
+        # max constraint degree after blinding: plain 3n+7 -> h deg <= 2n+7
+        # (3 chunks); poseidon chunk-0 product 7n+13 -> h deg <= 6n+13 (7).
+        return 7 if self.poseidon else 3
 
 
 @dataclass
@@ -70,17 +123,19 @@ class PlonkPK:
     n: int
     # fixed polys, coefficient form, Montgomery, (n, 16)
     coeffs: dict[str, jnp.ndarray]
-    # permutation label vectors in evaluation form, Montgomery, (n, 16)
-    id_a: jnp.ndarray
-    id_pi: jnp.ndarray
-    sigma_a_vals: jnp.ndarray
-    sigma_pi_vals: jnp.ndarray
+    # permutation label vectors in evaluation form, Montgomery, (n, 16):
+    # ids[c] / sigma_vals[c] per column (advice..., instance)
+    ids: list[jnp.ndarray]
+    sigma_vals: list[jnp.ndarray]
     # instance copy positions (advice_cell -> instance_row), for witness prep
     public_rows: tuple[int, ...]
-    # coset tables (4n, 16)
+    # coset tables (ext*n, 16)
     x_coset: jnp.ndarray
     zh_inv_coset: jnp.ndarray
     l0_coset: jnp.ndarray
+    llast_coset: jnp.ndarray
+    # Poseidon MDS (host ints) when the gate is active
+    mds: tuple[tuple[int, ...], ...] = ()
 
 
 class _UnionFind:
@@ -99,10 +154,15 @@ class _UnionFind:
             self.parent[ry] = rx
 
 
-def keygen(ctx: Context, srs: SRS, log_n: int | None = None) -> PlonkPK:
+def keygen(
+    ctx: Context, srs: SRS, log_n: int | None = None, multiopen: str = "gwc"
+) -> PlonkPK:
     """Build pk/vk from a populated Context (layout only is used)."""
+    assert multiopen in ("gwc", "shplonk")
     layout = CircuitLayout.of(ctx)
-    min_n = layout.num_rows + 4  # rotation margin for the last gate window
+    # rotation margin: 4-row flat gate window; Poseidon row-pair needs +1 and
+    # the chunked permutation keeps the last row copy-free.
+    min_n = max(layout.num_rows + 4, layout.p_num_rows + 2, layout.num_publics + 2)
     if log_n is None:
         log_n = max(3, (min_n - 1).bit_length())
     n = 1 << log_n
@@ -110,83 +170,118 @@ def keygen(ctx: Context, srs: SRS, log_n: int | None = None) -> PlonkPK:
     assert n <= srs.n, "SRS too small for this circuit"
 
     # -- fixed selector / constant vectors -------------------------------
-    q_a = np.zeros(n, dtype=object)
-    q_c = np.zeros(n, dtype=object)
-    f_vals = np.zeros(n, dtype=object)
+    fixed: dict[str, np.ndarray] = {
+        "q_a": np.zeros(n, dtype=object),
+        "q_c": np.zeros(n, dtype=object),
+        "f": np.zeros(n, dtype=object),
+    }
     for r in layout.q_a_rows:
-        q_a[r] = 1
+        fixed["q_a"][r] = 1
     for r, v in layout.const_rows:
-        q_c[r] = 1
-        f_vals[r] = v % P
+        fixed["q_c"][r] = 1
+        fixed["f"][r] = v % P
+    if layout.poseidon:
+        fixed["q_pf"] = np.zeros(n, dtype=object)
+        fixed["q_pp"] = np.zeros(n, dtype=object)
+        for i in range(N_POSEIDON_COLS):
+            fixed[f"rc{i}"] = np.zeros(n, dtype=object)
+        for r in layout.q_pf_rows:
+            fixed["q_pf"][r] = 1
+        for r in layout.q_pp_rows:
+            fixed["q_pp"][r] = 1
+        for r, rcs in layout.rc_rows:
+            for i, c in enumerate(rcs):
+                fixed[f"rc{i}"][r] = c % P
 
     # -- permutation sigmas ----------------------------------------------
-    # node ids: advice rows [0, n), instance rows [n, 2n)
-    uf = _UnionFind(2 * n)
+    # node id = col * n + row; columns [a, (p0..p4,) instance]
+    n_advice = 1 + (N_POSEIDON_COLS if layout.poseidon else 0)
+    n_cols = n_advice + 1
+    inst_col = n_cols - 1
+    uf = _UnionFind(n_cols * n)
     for i, j in layout.copies:
-        uf.union(i, j)
+        uf.union(i, j)  # col 0 rows
+    for (pc, prow), a_idx in layout.p_copies:
+        uf.union((1 + pc) * n + prow, a_idx)
     for k, cell in enumerate(ctx.publics):
-        uf.union(cell, n + k)
+        uf.union(cell, inst_col * n + k)
     cycles: dict[int, list[int]] = {}
-    for node in range(2 * n):
+    for node in range(n_cols * n):
         cycles.setdefault(uf.find(node), []).append(node)
 
     omega = Fr.root_of_unity(log_n)
     omega_pows = [1] * n
     for r in range(1, n):
         omega_pows[r] = omega_pows[r - 1] * omega % P
+    deltas = [pow(DELTA, c, P) for c in range(n_cols)]
 
     def label(node: int) -> int:
         col, row = divmod(node, n)
-        return omega_pows[row] * (DELTA if col else 1) % P
+        return omega_pows[row] * deltas[col] % P
 
-    sigma = [0] * (2 * n)
+    sigma = [0] * (n_cols * n)
     for members in cycles.values():
         m = len(members)
         for idx, node in enumerate(members):
             sigma[node] = label(members[(idx + 1) % m])
 
-    id_a_ints = omega_pows
-    id_pi_ints = [w * DELTA % P for w in omega_pows]
-    sigma_a_ints = sigma[:n]
-    sigma_pi_ints = sigma[n:]
-
     # -- device encodings -------------------------------------------------
     plan = get_plan(log_n)
     enc = lambda xs: FR.encode(list(xs))  # noqa: E731
-    q_a_m, q_c_m, f_m = enc(q_a), enc(q_c), enc(f_vals)
-    sigma_a_m, sigma_pi_m = enc(sigma_a_ints), enc(sigma_pi_ints)
-    coeffs = {
-        "q_a": plan.inverse(q_a_m),
-        "q_c": plan.inverse(q_c_m),
-        "f": plan.inverse(f_m),
-        "sigma_a": plan.inverse(sigma_a_m),
-        "sigma_pi": plan.inverse(sigma_pi_m),
-    }
+    coeffs = {name: plan.inverse(enc(vec)) for name, vec in fixed.items()}
+    ids = []
+    sigma_vals = []
+    for c in range(n_cols):
+        ids.append(enc([w * deltas[c] % P for w in omega_pows]))
+        sigma_vals.append(enc(sigma[c * n : (c + 1) * n]))
+        coeffs[f"sigma{c}"] = plan.inverse(sigma_vals[c])
 
     kzg = KZG(srs, log_n)
     commitments = {name: kzg.commit(c) for name, c in coeffs.items()}
     vk = PlonkVK(
-        log_n=log_n, n=n, omega=omega, num_publics=layout.num_publics, commitments=commitments
+        log_n=log_n,
+        n=n,
+        omega=omega,
+        num_publics=layout.num_publics,
+        commitments=commitments,
+        multiopen=multiopen,
+        poseidon=layout.poseidon,
     )
 
     # -- coset tables ------------------------------------------------------
-    ext_plan = get_plan(log_n + 2)
+    ext_log = log_n + vk.ext_log_add
+    ext_plan = get_plan(ext_log)
+    m = 1 << ext_log
     g = ext_plan.coset_gen
-    omega4 = ext_plan.omega
+    omega_ext = ext_plan.omega
     x_coset = FR.mul(
-        powers_device(FR, FR.encode_scalar(omega4), 4 * n), FR.encode_scalar(g)[None]
+        powers_device(FR, FR.encode_scalar(omega_ext), m), FR.encode_scalar(g)[None]
     )
-    # Z_H(x) = x^n - 1 on the coset: g^n * (omega4^n)^i - 1, period-4 cycle.
-    i4 = pow(omega4, n, P)
+    # Z_H(x) = x^n - 1 on the coset: g^n * (omega_ext^n)^i - 1, short cycle.
+    i_ext = pow(omega_ext, n, P)
     gn = pow(g, n, P)
-    zh_ints = [(gn * pow(i4, i % 4, P) - 1) % P for i in range(4)]
+    cycle_len = m // n
+    zh_ints = [(gn * pow(i_ext, i % cycle_len, P) - 1) % P for i in range(cycle_len)]
     zh_cycle = FR.encode(zh_ints)
     zh_coset = jnp.tile(zh_cycle, (n, 1))
     zh_inv_coset = FR.batch_inv(zh_coset)
-    # L_0(x) = (x^n - 1) / (n (x - 1)) on the coset.
+    # L_k(x) = omega^k (x^n - 1) / (n (x - omega^k)) on the coset.
     n_m = FR.encode_scalar(n)
-    denom = FR.mul(n_m[None], FR.sub(x_coset, FR.one_mont[None]))
-    l0_coset = FR.mul(zh_coset, FR.batch_inv(denom))
+
+    def lagrange_coset(k: int) -> jnp.ndarray:
+        wk = omega_pows[k]
+        denom = FR.mul(n_m[None], FR.sub(x_coset, FR.encode_scalar(wk)[None]))
+        return FR.mul(FR.mul(zh_coset, FR.encode_scalar(wk)[None]), FR.batch_inv(denom))
+
+    l0_coset = lagrange_coset(0)
+    llast_coset = lagrange_coset(n - 1)
+
+    mds: tuple = ()
+    if layout.poseidon:
+        from ..hash.poseidon import poseidon_constants
+
+        _, mds_list = poseidon_constants(P)
+        mds = tuple(tuple(row) for row in mds_list)
 
     return PlonkPK(
         vk=vk,
@@ -194,12 +289,12 @@ def keygen(ctx: Context, srs: SRS, log_n: int | None = None) -> PlonkPK:
         log_n=log_n,
         n=n,
         coeffs=coeffs,
-        id_a=enc(id_a_ints),
-        id_pi=enc(id_pi_ints),
-        sigma_a_vals=sigma_a_m,
-        sigma_pi_vals=sigma_pi_m,
+        ids=ids,
+        sigma_vals=sigma_vals,
         public_rows=tuple(ctx.publics),
         x_coset=x_coset,
         zh_inv_coset=zh_inv_coset,
         l0_coset=l0_coset,
+        llast_coset=llast_coset,
+        mds=mds,
     )

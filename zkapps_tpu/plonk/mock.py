@@ -32,3 +32,33 @@ def check_circuit(ctx: Context) -> None:
     for i, j in ctx.copies:
         if a[i] % P != a[j] % P:
             raise ConstraintFailure(f"copy constraint failed: cell {i} != cell {j}")
+    if ctx.poseidon_gate and ctx.p_num_rows:
+        _check_poseidon_rows(ctx)
+
+
+def _check_poseidon_rows(ctx: Context) -> None:
+    from ..hash.poseidon import poseidon_constants
+
+    _, mds = poseidon_constants(P)
+    rc_by_row = dict(ctx.rc_rows)
+    p = ctx.p_cols
+    t_width = len(p)
+    for r in ctx.q_pf_rows + ctx.q_pp_rows:
+        if r + 1 >= ctx.p_num_rows:
+            raise ConstraintFailure(f"poseidon round at row {r} overruns p columns")
+        if r not in rc_by_row:
+            raise ConstraintFailure(f"poseidon round at row {r} missing round constants")
+        full = r in ctx.q_pf_rows
+        t = [(p[i][r] + rc_by_row[r][i]) % P for i in range(t_width)]
+        sb = [pow(x, 5, P) for x in t] if full else [pow(t[0], 5, P)] + t[1:]
+        for j in range(t_width):
+            out = sum(mds[j][i] * sb[i] for i in range(t_width)) % P
+            if out != p[j][r + 1] % P:
+                raise ConstraintFailure(
+                    f"poseidon {'full' if full else 'partial'} round failed at row {r}, lane {j}"
+                )
+    for (pc, prow), a_idx in ctx.p_copies:
+        if p[pc][prow] % P != ctx.advice[a_idx] % P:
+            raise ConstraintFailure(
+                f"p-copy failed: p{pc}[{prow}] != advice[{a_idx}]"
+            )

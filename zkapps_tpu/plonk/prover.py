@@ -1,13 +1,30 @@
 """PLONK prover — device-heavy pipeline (SURVEY.md §3.5 stack).
 
 synthesis (host builder) -> advice encode -> COMMIT (MSM) -> permutation
-grand product (batched inverse + prefix scan) -> quotient on the 4n coset
+grand products (batched inverse + prefix scan) -> quotient on the ext coset
 (coset NTTs, pointwise constraint evaluation, Z_H division) -> OPEN (KZG
-multiopen via GWC).  All hot stages are batched jnp on (n,16) limb arrays;
-the transcript and challenge derivation are host-side (blake2b).
+multiopen via GWC or SHPLONK).  All hot stages are batched jnp on (n,16)
+limb arrays; the transcript and challenge derivation are host-side (blake2b).
 
-Protocol order: publics -> [A] -> beta,gamma -> [Z] -> y -> [h0,h1,h2] -> x
--> evals -> multiopen(v, W_j).
+Protocol order: publics -> [advice cols] -> beta,gamma -> [z chunks] -> y
+-> [h chunks] -> x -> evals -> multiopen.
+
+Zero-knowledge: witness-carrying polynomials are blinded with random
+multiples of the vanishing polynomial (a la the PLONK paper, sec. 8):
+col' = col + Z_H * r (deg r = #openings of that poly).  Domain evaluations
+are untouched, so every constraint identity still vanishes on H; only the
+coset/quotient degree grows (h spans vk.num_h_chunks n-sized chunks, linked
+with boundary blinds u_i so individual chunk openings are uniform subject to
+their sum).  The reference's halo2_proofs achieves zk with random trailing
+rows instead (unusable-rows scheme); the Z_H form needs no active-row
+selectors.
+
+Constraint set (folded by challenge y):
+  plain:    G0 (flat arith gate), G1 (constants), R_0 (single-chunk
+            permutation, full wrap), L0 (z_0(1) = 1)
+  poseidon: + F_0..F_4 / P_0..P_4 (full/partial Poseidon round rows,
+            degree 6), chunked permutation R_0, R_1 gated by (1 - L_last),
+            chunk link l_0 * (z_1 - z_0(w^{n-1} X)), final L_last*(z_1 - 1)
 """
 
 from __future__ import annotations
@@ -17,7 +34,6 @@ import sys
 import time
 
 import jax.numpy as jnp
-import numpy as np
 
 _TIMING = os.environ.get("ZKTPU_TIMING") == "1"
 
@@ -28,20 +44,68 @@ def _mark(label: str, t0: list):
         print(f"  prove[{label}] +{now - t0[0]:.1f}s", file=sys.stderr, flush=True)
         t0[0] = now
 
-from ..circuit.context import Context
+
+from ..circuit.context import N_POSEIDON_COLS, Context
 from ..fields.host import Fr
 from ..fields.jnp_ops import FR
 from ..ntt.jnp_ntt import get_plan
 from ..transcript.blake2b import Blake2bWrite
-from .keygen import DELTA, PlonkPK
+from .keygen import DELTA, PlonkPK, PlonkVK
 
 P = Fr.p
 
-# Multiopen query structure: polys opened at x, wx, w2x, w3x.
-EVAL_ORDER_X = ["a", "z", "h0", "h1", "q_a", "q_c", "f", "sigma_a", "sigma_pi"]
-EVAL_ORDER_WX = ["a", "z"]
-EVAL_ORDER_W2X = ["a"]
-EVAL_ORDER_W3X = ["a"]
+
+def opening_plan(vk: PlonkVK) -> list[tuple[str, list[str]]]:
+    """[(poly_name, [point_name...])] in transcript order.
+
+    Point names: 'x', 'wx', 'w2x', 'w3x', 'wlx' (= w^{n-1} x, chunk link).
+    """
+    plan: list[tuple[str, list[str]]] = [("a", ["x", "wx", "w2x", "w3x"])]
+    if vk.poseidon:
+        for i in range(N_POSEIDON_COLS):
+            plan.append((f"p{i}", ["x", "wx"]))
+    n_chunks = len(vk.chunks)
+    for k in range(n_chunks):
+        pts = ["x", "wx"]
+        if n_chunks > 1 and k == 0:
+            pts.append("wlx")
+        plan.append((f"z{k}", pts))
+    for i in range(vk.num_h_chunks):
+        plan.append((f"h{i}", ["x"]))
+    fixed = ["q_a", "q_c", "f"]
+    if vk.poseidon:
+        fixed += ["q_pf", "q_pp"] + [f"rc{i}" for i in range(N_POSEIDON_COLS)]
+    fixed += [f"sigma{c}" for c in range(vk.num_cols)]
+    for name in fixed:
+        plan.append((name, ["x"]))
+    return plan
+
+
+def eval_points(vk: PlonkVK, x: int) -> dict[str, int]:
+    omega = vk.omega
+    pts = {
+        "x": x,
+        "wx": x * omega % P,
+        "w2x": x * omega % P * omega % P,
+        "w3x": x * pow(omega, 3, P) % P,
+    }
+    if len(vk.chunks) > 1:
+        pts["wlx"] = x * pow(omega, vk.n - 1, P) % P
+    return pts
+
+
+def multiopen_queries(vk: PlonkVK, x: int, poly_idx: dict[str, int], evals) -> list:
+    """Group the opening plan by point for the PCS layer."""
+    pts = eval_points(vk, x)
+    by_point: dict[str, list] = {}
+    point_order: list[str] = []
+    for name, pnames in opening_plan(vk):
+        for pn in pnames:
+            if pn not in by_point:
+                by_point[pn] = []
+                point_order.append(pn)
+            by_point[pn].append((poly_idx[name], evals[(name, pn)]))
+    return [(pts[pn], by_point[pn]) for pn in point_order]
 
 
 def _prefix_product(vals: jnp.ndarray) -> jnp.ndarray:
@@ -51,166 +115,272 @@ def _prefix_product(vals: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.associative_scan(FR.mul, vals, axis=0)
 
 
-def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False) -> bytes:
+def _rand_frs(k: int, rng) -> jnp.ndarray:
+    """k random Fr elements, Montgomery-encoded (k, 16).
+
+    rng=None draws from the OS CSPRNG; a random.Random gives deterministic
+    proofs for tests."""
+    if rng is None:
+        vals = [int.from_bytes(os.urandom(48), "little") % P for _ in range(k)]
+    else:
+        vals = [rng.getrandbits(384) % P for _ in range(k)]
+    return FR.encode(vals)
+
+
+def _blind_zh(coeffs: jnp.ndarray, blinds_m: jnp.ndarray) -> jnp.ndarray:
+    """coeffs + Z_H * r where r has the given (k,16) Montgomery coefficients.
+
+    Z_H = X^n - 1, so coefficient i loses b_i and coefficient n+i gains b_i;
+    the result has n+k coefficients but identical evaluations on H."""
+    k = blinds_m.shape[0]
+    head = FR.sub(coeffs[:k], blinds_m)
+    return jnp.concatenate([head, coeffs[k:], blinds_m], axis=0)
+
+
+def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False, rng=None) -> bytes:
     t0 = [time.time()]
+    vk = pk.vk
     n, log_n = pk.n, pk.log_n
     plan = get_plan(log_n)
-    ext_plan = get_plan(log_n + 2)
+    ext_log = log_n + vk.ext_log_add
+    ext_plan = get_plan(ext_log)
+    m_ext = 1 << ext_log
 
     publics = [ctx.advice[c] % P for c in ctx.publics]
-    assert len(publics) == pk.vk.num_publics
+    assert len(publics) == vk.num_publics
 
     # -- column vectors ---------------------------------------------------
+    col_vals: dict[str, jnp.ndarray] = {}
     a_ints = [v % P for v in ctx.advice] + [0] * (n - ctx.num_rows)
+    col_vals["a"] = FR.encode(a_ints)
+    if vk.poseidon:
+        for i in range(N_POSEIDON_COLS):
+            pad = [0] * (n - ctx.p_num_rows)
+            col_vals[f"p{i}"] = FR.encode([v % P for v in ctx.p_cols[i]] + pad)
     pi_ints = publics + [0] * (n - len(publics))
-    a_vals = FR.encode(a_ints)
     pi_vals = FR.encode(pi_ints)
-    a_coeffs = plan.inverse(a_vals)
-    pi_coeffs = plan.inverse(pi_vals)
+    pi_coeffs = plan.inverse(pi_vals)  # public: never blinded
 
     transcript = Blake2bWrite()
     for v in publics:
         transcript.common_scalar(v)
 
+    # blind counts = number of openings + 1
+    col_coeffs: dict[str, jnp.ndarray] = {}
+    open_counts = {name: len(pts) for name, pts in opening_plan(vk)}
+    for name in vk.advice_names:
+        blinds = _rand_frs(open_counts[name] + 1, rng)
+        col_coeffs[name] = _blind_zh(plan.inverse(col_vals[name]), blinds)
     _mark("encode+intt", t0)
-    a_comm = pk.kzg.commit(a_coeffs)
-    transcript.write_point(a_comm)
-    _mark("commit A", t0)
+    for name in vk.advice_names:
+        transcript.write_point(pk.kzg.commit(col_coeffs[name]))
+    _mark("commit advice", t0)
 
     beta = transcript.squeeze_challenge()
     gamma = transcript.squeeze_challenge()
     beta_m = FR.encode_scalar(beta)[None]
     gamma_m = FR.encode_scalar(gamma)[None]
 
-    # -- permutation grand product ---------------------------------------
+    # -- permutation grand products (per chunk) ----------------------------
     def blend(col, labels):
         return FR.add(col, FR.add(FR.mul(beta_m, labels), gamma_m))
 
-    num = FR.mul(blend(a_vals, pk.id_a), blend(pi_vals, pk.id_pi))
-    den = FR.mul(blend(a_vals, pk.sigma_a_vals), blend(pi_vals, pk.sigma_pi_vals))
-    ratio = FR.mul(num, FR.batch_inv(den))
-    prefix = _prefix_product(ratio)
-    z_vals = jnp.concatenate([FR.one_mont[None], prefix[:-1]], axis=0)
-    if debug_checks:
-        total = FR.decode_scalar(prefix[-1])
-        assert total == 1, f"grand product does not telescope: {total}"
+    def col_evals_of(c: int) -> jnp.ndarray:
+        if c == vk.num_cols - 1:
+            return pi_vals
+        return col_vals[vk.advice_names[c]]
+
+    chunk_ratios = []
+    for chunk in vk.chunks:
+        num = None
+        den = None
+        for c in chunk:
+            ev = col_evals_of(c)
+            nterm = blend(ev, pk.ids[c])
+            dterm = blend(ev, pk.sigma_vals[c])
+            num = nterm if num is None else FR.mul(num, nterm)
+            den = dterm if den is None else FR.mul(den, dterm)
+        chunk_ratios.append(FR.mul(num, FR.batch_inv(den)))
+
+    single_chunk = len(vk.chunks) == 1
+    z_vals_list = []
+    if single_chunk:
+        prefix = _prefix_product(chunk_ratios[0])
+        z_vals_list.append(jnp.concatenate([FR.one_mont[None], prefix[:-1]], axis=0))
+        if debug_checks:
+            total = FR.decode_scalar(prefix[-1])
+            assert total == 1, f"grand product does not telescope: {total}"
+    else:
+        # chunked: rows 0..n-2 active; z_{k+1}(1) = z_k(w^{n-1})
+        start = FR.one_mont[None]
+        for ratios in chunk_ratios:
+            prefix = FR.mul(_prefix_product(ratios[: n - 1]), start)
+            z_vals = jnp.concatenate([start, prefix], axis=0)
+            z_vals_list.append(z_vals)
+            start = prefix[-1:]
+        if debug_checks:
+            total = FR.decode_scalar(start[0])
+            assert total == 1, f"chunked grand product does not telescope: {total}"
     _mark("grand product", t0)
-    z_coeffs = plan.inverse(z_vals)
-    z_comm = pk.kzg.commit(z_coeffs)
-    transcript.write_point(z_comm)
+
+    z_coeffs_list = []
+    for k, z_vals in enumerate(z_vals_list):
+        blinds = _rand_frs(open_counts[f"z{k}"] + 1, rng)
+        z_coeffs = _blind_zh(plan.inverse(z_vals), blinds)
+        z_coeffs_list.append(z_coeffs)
+        transcript.write_point(pk.kzg.commit(z_coeffs))
     _mark("commit Z", t0)
 
     y = transcript.squeeze_challenge()
     y_m = FR.encode_scalar(y)[None]
 
-    # -- quotient on the 4n coset ----------------------------------------
+    # -- quotient on the ext coset -----------------------------------------
     def coset(coeffs):
         padded = jnp.concatenate(
-            [coeffs, jnp.zeros((4 * n - coeffs.shape[0], coeffs.shape[1]), dtype=coeffs.dtype)]
+            [coeffs, jnp.zeros((m_ext - coeffs.shape[0], coeffs.shape[1]), dtype=coeffs.dtype)]
         )
         return ext_plan.coset_forward(padded)
 
-    a_x = coset(a_coeffs)
+    step = m_ext // n  # omega = omega_ext^step
+
+    def rot(arr, k: int):
+        return jnp.roll(arr, -step * k, axis=0)
+
+    col_x = {name: coset(col_coeffs[name]) for name in vk.advice_names}
     pi_x = coset(pi_coeffs)
-    z_x = coset(z_coeffs)
-    q_a_x = coset(pk.coeffs["q_a"])
-    q_c_x = coset(pk.coeffs["q_c"])
-    f_x = coset(pk.coeffs["f"])
-    s_a_x = coset(pk.coeffs["sigma_a"])
-    s_pi_x = coset(pk.coeffs["sigma_pi"])
+    z_x = [coset(zc) for zc in z_coeffs_list]
+    fx = {name: coset(c) for name, c in pk.coeffs.items() if not name.startswith("sigma")}
+    sig_x = [coset(pk.coeffs[f"sigma{c}"]) for c in range(vk.num_cols)]
 
-    rot = lambda arr, k: jnp.roll(arr, -4 * k, axis=0)  # noqa: E731  (omega = omega4^4)
+    def col_coset_of(c: int) -> jnp.ndarray:
+        if c == vk.num_cols - 1:
+            return pi_x
+        return col_x[vk.advice_names[c]]
 
-    # C0: arithmetic gate
-    c0 = FR.mul(q_a_x, FR.sub(FR.add(a_x, FR.mul(rot(a_x, 1), rot(a_x, 2))), rot(a_x, 3)))
-    # C1: constants
-    c1 = FR.mul(q_c_x, FR.sub(a_x, f_x))
-    # C2: permutation
-    id_a_cx = pk.x_coset
-    id_pi_cx = FR.mul(pk.x_coset, FR.encode_scalar(DELTA)[None])
-    lhs = FR.mul(rot(z_x, 1), FR.mul(blend(a_x, s_a_x), blend(pi_x, s_pi_x)))
-    rhs = FR.mul(z_x, FR.mul(blend(a_x, id_a_cx), blend(pi_x, id_pi_cx)))
-    c2 = FR.sub(lhs, rhs)
-    # C3: Z(omega^0) = 1
-    c3 = FR.mul(pk.l0_coset, FR.sub(z_x, FR.one_mont[None]))
+    a_x = col_x["a"]
+    constraints = []
+    # G0: flat arithmetic gate
+    constraints.append(
+        FR.mul(fx["q_a"], FR.sub(FR.add(a_x, FR.mul(rot(a_x, 1), rot(a_x, 2))), rot(a_x, 3)))
+    )
+    # G1: constants
+    constraints.append(FR.mul(fx["q_c"], FR.sub(a_x, fx["f"])))
 
-    combined = c0
-    for c in (c1, c2, c3):
+    if vk.poseidon:
+        mds = pk.mds
+        p_x = [col_x[f"p{i}"] for i in range(N_POSEIDON_COLS)]
+        rc_x = [fx[f"rc{i}"] for i in range(N_POSEIDON_COLS)]
+        t_lin = [FR.add(p_x[i], rc_x[i]) for i in range(N_POSEIDON_COLS)]
+        # x^5 s-box: 3 muls each
+        t_sb = []
+        for t in t_lin:
+            t2 = FR.mul(t, t)
+            t4 = FR.mul(t2, t2)
+            t_sb.append(FR.mul(t4, t))
+        mds_m = [[FR.encode_scalar(mds[j][i])[None] for i in range(5)] for j in range(5)]
+        for j in range(N_POSEIDON_COLS):
+            # full round: out_j = sum_i M[j][i] * sbox(t_i)
+            acc = None
+            for i in range(N_POSEIDON_COLS):
+                term = FR.mul(mds_m[j][i], t_sb[i])
+                acc = term if acc is None else FR.add(acc, term)
+            constraints.append(FR.mul(fx["q_pf"], FR.sub(rot(p_x[j], 1), acc)))
+        for j in range(N_POSEIDON_COLS):
+            # partial round: s-box only on element 0
+            acc = FR.mul(mds_m[j][0], t_sb[0])
+            for i in range(1, N_POSEIDON_COLS):
+                acc = FR.add(acc, FR.mul(mds_m[j][i], t_lin[i]))
+            constraints.append(FR.mul(fx["q_pp"], FR.sub(rot(p_x[j], 1), acc)))
+
+    # permutation constraints
+    delta_pows = [pow(DELTA, c, P) for c in range(vk.num_cols)]
+
+    def id_coset_of(c: int) -> jnp.ndarray:
+        return FR.mul(pk.x_coset, FR.encode_scalar(delta_pows[c])[None])
+
+    one_b = FR.one_mont[None]
+    if single_chunk:
+        lhs = rot(z_x[0], 1)
+        rhs = z_x[0]
+        for c in vk.chunks[0]:
+            ev = col_coset_of(c)
+            lhs = FR.mul(lhs, blend(ev, sig_x[c]))
+            rhs = FR.mul(rhs, blend(ev, id_coset_of(c)))
+        constraints.append(FR.sub(lhs, rhs))
+        constraints.append(FR.mul(pk.l0_coset, FR.sub(z_x[0], one_b)))
+    else:
+        one_minus_llast = FR.sub(one_b, pk.llast_coset)
+        for k, chunk in enumerate(vk.chunks):
+            lhs = rot(z_x[k], 1)
+            rhs = z_x[k]
+            for c in chunk:
+                ev = col_coset_of(c)
+                lhs = FR.mul(lhs, blend(ev, sig_x[c]))
+                rhs = FR.mul(rhs, blend(ev, id_coset_of(c)))
+            constraints.append(FR.mul(one_minus_llast, FR.sub(lhs, rhs)))
+        constraints.append(FR.mul(pk.l0_coset, FR.sub(z_x[0], one_b)))
+        # chunk link: z_{k+1}(1) = z_k(w^{n-1})
+        for k in range(1, len(vk.chunks)):
+            constraints.append(
+                FR.mul(pk.l0_coset, FR.sub(z_x[k], rot(z_x[k - 1], n - 1)))
+            )
+        constraints.append(FR.mul(pk.llast_coset, FR.sub(z_x[-1], one_b)))
+
+    combined = constraints[0]
+    for c in constraints[1:]:
         combined = FR.add(FR.mul(combined, y_m), c)
     h_evals = FR.mul(combined, pk.zh_inv_coset)
     h_coeffs = ext_plan.coset_inverse(h_evals)
     _mark("quotient", t0)
+    n_h = vk.num_h_chunks
     if debug_checks:
-        tail = FR.decode(h_coeffs[2 * n :])
-        assert all(t == 0 for t in tail), "quotient degree exceeds 2n"
-    # Constraint degree <= 3(n-1), so h = quotient/Z_H has degree <= 2n-3:
-    # exactly two n-sized chunks.
-    h_chunks = [h_coeffs[i * n : (i + 1) * n] for i in range(2)]
-    h_comms = [pk.kzg.commit(h) for h in h_chunks]
+        tail = FR.decode(h_coeffs[n_h * n :])
+        assert all(t == 0 for t in tail), f"quotient degree exceeds {n_h}n"
+    # Boundary blinds u_i keep the individual chunk openings uniform subject
+    # to h(x) = sum x^{in} h_i(x):
+    #   h0' = h0 + u0 X^n,  h_i' = h_i - u_{i-1} + u_i X^n,  last: - u_{last}
+    raw = [h_coeffs[i * n : (i + 1) * n] for i in range(n_h)]
+    u = _rand_frs(n_h - 1, rng)
+    h_chunks = []
+    for i in range(n_h):
+        chunk = raw[i]
+        if i > 0:
+            chunk = jnp.concatenate([FR.sub(chunk[:1], u[i - 1 : i]), chunk[1:]], axis=0)
+        if i < n_h - 1:
+            chunk = jnp.concatenate([chunk, u[i : i + 1]], axis=0)
+        h_chunks.append(chunk)
+    for h in h_chunks:
+        transcript.write_point(pk.kzg.commit(h))
     _mark("commit H", t0)
-    for comm in h_comms:
-        transcript.write_point(comm)
 
     x = transcript.squeeze_challenge()
-    omega = pk.vk.omega
-    points = {
-        "x": x,
-        "wx": x * omega % P,
-        "w2x": x * omega * omega % P,
-        "w3x": x * pow(omega, 3, P) % P,
-    }
+    pts = eval_points(vk, x)
 
-    polys = {
-        "a": a_coeffs,
-        "z": z_coeffs,
-        "h0": h_chunks[0],
-        "h1": h_chunks[1],
-        "q_a": pk.coeffs["q_a"],
-        "q_c": pk.coeffs["q_c"],
-        "f": pk.coeffs["f"],
-        "sigma_a": pk.coeffs["sigma_a"],
-        "sigma_pi": pk.coeffs["sigma_pi"],
-    }
+    polys: dict[str, jnp.ndarray] = {}
+    for name in vk.advice_names:
+        polys[name] = col_coeffs[name]
+    for k, zc in enumerate(z_coeffs_list):
+        polys[f"z{k}"] = zc
+    for i, h in enumerate(h_chunks):
+        polys[f"h{i}"] = h
+    for name, c in pk.coeffs.items():
+        polys[name] = c
 
     evals: dict[tuple[str, str], int] = {}
-    for name in EVAL_ORDER_X:
-        evals[(name, "x")] = pk.kzg.eval_poly(polys[name], points["x"])
-    for name in EVAL_ORDER_WX:
-        evals[(name, "wx")] = pk.kzg.eval_poly(polys[name], points["wx"])
-    for name in EVAL_ORDER_W2X:
-        evals[(name, "w2x")] = pk.kzg.eval_poly(polys[name], points["w2x"])
-    for name in EVAL_ORDER_W3X:
-        evals[(name, "w3x")] = pk.kzg.eval_poly(polys[name], points["w3x"])
-    for key in _eval_write_order():
-        transcript.write_scalar(evals[key])
+    for name, pnames in opening_plan(vk):
+        for pn in pnames:
+            evals[(name, pn)] = pk.kzg.eval_poly(polys[name], pts[pn])
+            transcript.write_scalar(evals[(name, pn)])
     _mark("evals", t0)
 
     # -- multiopen --------------------------------------------------------
-    poly_list = list(polys.values())
-    poly_idx = {name: i for i, name in enumerate(polys)}
-    queries = _multiopen_queries(points, poly_idx, evals)
-    pk.kzg.multiopen_prove(transcript, poly_list, queries)
+    names = [name for name, _ in opening_plan(vk)]
+    poly_list = [polys[name] for name in names]
+    poly_idx = {name: i for i, name in enumerate(names)}
+    queries = multiopen_queries(vk, x, poly_idx, evals)
+    if vk.multiopen == "shplonk":
+        pk.kzg.multiopen_prove_shplonk(transcript, poly_list, queries)
+    else:
+        pk.kzg.multiopen_prove(transcript, poly_list, queries)
     _mark("multiopen", t0)
     return transcript.finalize()
-
-
-def _eval_write_order():
-    order = []
-    for name in EVAL_ORDER_X:
-        order.append((name, "x"))
-    for name in EVAL_ORDER_WX:
-        order.append((name, "wx"))
-    for name in EVAL_ORDER_W2X:
-        order.append((name, "w2x"))
-    for name in EVAL_ORDER_W3X:
-        order.append((name, "w3x"))
-    return order
-
-
-def _multiopen_queries(points, poly_idx, evals):
-    return [
-        (points["x"], [(poly_idx[name], evals[(name, "x")]) for name in EVAL_ORDER_X]),
-        (points["wx"], [(poly_idx[name], evals[(name, "wx")]) for name in EVAL_ORDER_WX]),
-        (points["w2x"], [(poly_idx[name], evals[(name, "w2x")]) for name in EVAL_ORDER_W2X]),
-        (points["w3x"], [(poly_idx[name], evals[(name, "w3x")]) for name in EVAL_ORDER_W3X]),
-    ]

@@ -1,24 +1,20 @@
 """PLONK verifier — host-side (pairings + a handful of field ops).
 
 Replays the transcript, checks the combined constraint identity at the
-challenge point, and verifies all openings with one GWC double-pairing.
+challenge point (including the degree-6 Poseidon round identities and the
+chunked permutation argument when active — see prover.py), and verifies all
+openings with the GWC double pairing or the SHPLONK two-point check.
 """
 
 from __future__ import annotations
 
+from ..circuit.context import N_POSEIDON_COLS
 from ..curve.host import G1
 from ..fields.host import Fr
 from ..pcs.kzg import KZG
 from ..transcript.blake2b import Blake2bRead
 from .keygen import DELTA, PlonkVK
-from .prover import (
-    EVAL_ORDER_W2X,
-    EVAL_ORDER_W3X,
-    EVAL_ORDER_WX,
-    EVAL_ORDER_X,
-    _eval_write_order,
-    _multiopen_queries,
-)
+from .prover import eval_points, multiopen_queries, opening_plan
 
 P = Fr.p
 
@@ -37,24 +33,24 @@ def _verify(vk: PlonkVK, kzg: KZG, proof: bytes, publics: list[int]) -> bool:
     for v in publics:
         tr.common_scalar(v % P)
 
-    a_comm = tr.read_point()
+    advice_comms = {name: tr.read_point() for name in vk.advice_names}
     beta = tr.squeeze_challenge()
     gamma = tr.squeeze_challenge()
-    z_comm = tr.read_point()
+    z_comms = [tr.read_point() for _ in vk.chunks]
     y = tr.squeeze_challenge()
-    h_comms = [tr.read_point() for _ in range(2)]
+    h_comms = [tr.read_point() for _ in range(vk.num_h_chunks)]
     x = tr.squeeze_challenge()
 
-    evals = {}
-    for key in _eval_write_order():
-        evals[key] = tr.read_scalar()
+    evals: dict[tuple[str, str], int] = {}
+    for name, pnames in opening_plan(vk):
+        for pn in pnames:
+            evals[(name, pn)] = tr.read_scalar()
 
     # -- public-input polynomial evaluated at x (Lagrange) ----------------
     xn = pow(x, n, P)
     zh_x = (xn - 1) % P
     if zh_x == 0:
         return False  # challenge landed in the domain; reject
-    n_inv = pow(n, P - 2, P)
     pi_x = 0
     wk = 1
     for v in publics:
@@ -63,55 +59,78 @@ def _verify(vk: PlonkVK, kzg: KZG, proof: bytes, publics: list[int]) -> bool:
         pi_x = (pi_x + v * lk) % P
         wk = wk * omega % P
     l0_x = zh_x * pow(n * (x - 1) % P, P - 2, P) % P
+    w_last = pow(omega, n - 1, P)
+    llast_x = w_last * zh_x % P * pow(n * (x - w_last) % P, P - 2, P) % P
 
     e = lambda name, pt="x": evals[(name, pt)]  # noqa: E731
 
-    # -- constraint identity at x ----------------------------------------
-    c0 = e("q_a") * ((e("a") + e("a", "wx") * e("a", "w2x") - e("a", "w3x")) % P) % P
-    c1 = e("q_c") * ((e("a") - e("f")) % P) % P
-    lhs = (
-        e("z", "wx")
-        * ((e("a") + beta * e("sigma_a") + gamma) % P)
-        % P
-        * ((pi_x + beta * e("sigma_pi") + gamma) % P)
-        % P
-    )
-    rhs = (
-        e("z")
-        * ((e("a") + beta * x + gamma) % P)
-        % P
-        * ((pi_x + beta * DELTA % P * x + gamma) % P)
-        % P
-    )
-    c2 = (lhs - rhs) % P
-    c3 = l0_x * ((e("z") - 1) % P) % P
+    def col_eval(c: int) -> int:
+        if c == vk.num_cols - 1:
+            return pi_x
+        return e(vk.advice_names[c])
 
-    combined = c0
-    for c in (c1, c2, c3):
+    # -- constraint identity at x ----------------------------------------
+    constraints: list[int] = []
+    constraints.append(
+        e("q_a") * ((e("a") + e("a", "wx") * e("a", "w2x") - e("a", "w3x")) % P) % P
+    )
+    constraints.append(e("q_c") * ((e("a") - e("f")) % P) % P)
+
+    if vk.poseidon:
+        from ..hash.poseidon import poseidon_constants
+
+        _, mds = poseidon_constants(P)
+        t_lin = [(e(f"p{i}") + e(f"rc{i}")) % P for i in range(N_POSEIDON_COLS)]
+        t_sb = [pow(t, 5, P) for t in t_lin]
+        for j in range(N_POSEIDON_COLS):
+            acc = sum(mds[j][i] * t_sb[i] for i in range(N_POSEIDON_COLS)) % P
+            constraints.append(e("q_pf") * ((e(f"p{j}", "wx") - acc) % P) % P)
+        for j in range(N_POSEIDON_COLS):
+            acc = (
+                mds[j][0] * t_sb[0]
+                + sum(mds[j][i] * t_lin[i] for i in range(1, N_POSEIDON_COLS))
+            ) % P
+            constraints.append(e("q_pp") * ((e(f"p{j}", "wx") - acc) % P) % P)
+
+    single_chunk = len(vk.chunks) == 1
+    for k, chunk in enumerate(vk.chunks):
+        lhs = e(f"z{k}", "wx")
+        rhs = e(f"z{k}")
+        for c in chunk:
+            cv = col_eval(c)
+            lhs = lhs * ((cv + beta * e(f"sigma{c}") + gamma) % P) % P
+            rhs = rhs * ((cv + beta * pow(DELTA, c, P) % P * x + gamma) % P) % P
+        body = (lhs - rhs) % P
+        constraints.append(body if single_chunk else (1 - llast_x) % P * body % P)
+    constraints.append(l0_x * ((e("z0") - 1) % P) % P)
+    if not single_chunk:
+        for k in range(1, len(vk.chunks)):
+            constraints.append(l0_x * ((e(f"z{k}") - e(f"z{k-1}", "wlx")) % P) % P)
+        constraints.append(llast_x * ((e(f"z{len(vk.chunks)-1}") - 1) % P) % P)
+
+    combined = constraints[0]
+    for c in constraints[1:]:
         combined = (combined * y + c) % P
-    h_x = (e("h0") + xn * e("h1")) % P
+    h_x = 0
+    xi = 1
+    for i in range(vk.num_h_chunks):
+        h_x = (h_x + xi * e(f"h{i}")) % P
+        xi = xi * xn % P
     if combined != h_x * zh_x % P:
         return False
 
     # -- openings ---------------------------------------------------------
-    commitments = {
-        "a": a_comm,
-        "z": z_comm,
-        "h0": h_comms[0],
-        "h1": h_comms[1],
-        "q_a": vk.commitments["q_a"],
-        "q_c": vk.commitments["q_c"],
-        "f": vk.commitments["f"],
-        "sigma_a": vk.commitments["sigma_a"],
-        "sigma_pi": vk.commitments["sigma_pi"],
-    }
-    points = {
-        "x": x,
-        "wx": x * omega % P,
-        "w2x": x * omega * omega % P,
-        "w3x": x * pow(omega, 3, P) % P,
-    }
-    poly_idx = {name: i for i, name in enumerate(commitments)}
-    queries = _multiopen_queries(points, poly_idx, evals)
-    comm_list = list(commitments.values())
+    commitments: dict[str, G1] = dict(advice_comms)
+    for k, zc in enumerate(z_comms):
+        commitments[f"z{k}"] = zc
+    for i, hc in enumerate(h_comms):
+        commitments[f"h{i}"] = hc
+    commitments.update(vk.commitments)
+
+    names = [name for name, _ in opening_plan(vk)]
+    poly_idx = {name: i for i, name in enumerate(names)}
+    comm_list = [commitments[name] for name in names]
+    queries = multiopen_queries(vk, x, poly_idx, evals)
+    if vk.multiopen == "shplonk":
+        return kzg.multiopen_verify_shplonk(tr, comm_list, queries)
     return kzg.multiopen_verify(tr, comm_list, queries)

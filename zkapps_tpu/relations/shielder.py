@@ -263,14 +263,19 @@ def build_update_note_circuit(
     merkle_proof: MerkleProofWitness,
     op_priv: ShielderOpPriv,
     old_account: ShielderAccount,
+    poseidon_gate: bool = True,
 ) -> Context:
     """Builds the full deposit/withdraw relation circuit with its witness.
 
     Returns the populated Context; ctx.publics is the public-input vector in
     the reference's order: [op_pub..., new_note_hash, merkle_root,
     old_nullifier] (update_note.rs:119-127).
+
+    poseidon_gate=True routes the 18 Poseidon permutations through the
+    degree-6 custom gate (65 rows each vs ~7.5k flat rows — a 2^12 domain
+    instead of 2^18); False keeps the pure flat-gate lowering.
     """
-    ctx = Context()
+    ctx = Context(poseidon_gate=poseidon_gate)
     gate = GateChip(ctx)
     poseidon = PoseidonGadget(ctx, gate)
 
