@@ -138,6 +138,58 @@ class JnpG1:
         Z3 = f.add(b_z, a_z)
         return jnp.stack([X3, Y3, Z3], axis=-2)
 
+    def madd(self, p, qxy, q_neg, valid) -> jnp.ndarray:
+        """Masked complete mixed addition: p + (±Q) where Q = (x2, y2) affine.
+
+        RCB15 Algorithm 7 with Z2 = 1 substituted (11 muls; complete in p for
+        any non-infinity Q).  q_neg / valid are (…,) bool masks; invalid slots
+        keep p.  Callers must mask out identity Q rows via valid=False.
+        """
+        f = self.f
+        flags = (q_neg.astype(jnp.uint32) & 1) | ((~valid).astype(jnp.uint32) << 1)
+        if self._pallas_batch(p) >= 128:
+            from ..fields.pallas_ops import pmadd_pallas_auto
+
+            return pmadd_pallas_auto(f, p, qxy, flags)
+        X1, Y1, Z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
+        x2 = qxy[..., 0, :]
+        y2 = f.select(q_neg, f.neg(qxy[..., 1, :]), qxy[..., 1, :])
+
+        # layer 1
+        t0, t1, m3, m4, m5 = self._mul_layer(
+            [
+                (X1, x2),
+                (Y1, y2),
+                (f.add(X1, Y1), f.add(x2, y2)),
+                (y2, Z1),
+                (x2, Z1),
+            ]
+        )
+        t3 = f.sub(m3, f.add(t0, t1))  # X1 y2 + x2 Y1
+        t4 = f.add(m4, Y1)  # Y1 + y2 Z1
+        ty = f.add(m5, X1)  # X1 + x2 Z1
+        three_t0 = f.add(f.add(t0, t0), t0)
+        b3_t2 = f.mul_small(Z1, B3)  # t2 = Z1 Z2 = Z1
+        z3t = f.add(t1, b3_t2)
+        t1m = f.sub(t1, b3_t2)
+        y3t = f.mul_small(ty, B3)
+
+        # layer 2
+        a_x, b_x, a_y, b_y, a_z, b_z = self._mul_layer(
+            [
+                (t4, y3t),
+                (t3, t1m),
+                (y3t, three_t0),
+                (t1m, z3t),
+                (three_t0, t3),
+                (z3t, t4),
+            ]
+        )
+        out = jnp.stack(
+            [f.sub(b_x, a_x), f.add(b_y, a_y), f.add(b_z, a_z)], axis=-2
+        )
+        return self.select(valid, out, p)
+
     def double(self, p: jnp.ndarray) -> jnp.ndarray:
         """Complete doubling (RCB15 Algorithm 9, a=0, b3=9)."""
         f = self.f

@@ -167,6 +167,42 @@ def _fw_point_add(P, Q, p_arr, n0inv):
     return X3, Y3, Z3
 
 
+def _fw_point_madd(P, Qxy, flags, p_arr, n0inv):
+    """Complete mixed addition P(projective) + Q(affine), masked.
+
+    Derived from RCB15 Algorithm 7 by substituting Z2 = 1 (11 muls vs 14;
+    complete in P for any non-infinity Q).  flags (1,T) bit0 = negate Q,
+    bit1 = skip (Q is identity or slot invalid) -> result = P.
+    """
+    X1, Y1, Z1 = P
+    x2, y2 = Qxy
+    mul = lambda a, b: _fw_mont_mul(a, b, p_arr, n0inv)  # noqa: E731
+    add = lambda a, b: _fw_add(a, b, p_arr)  # noqa: E731
+    sub = lambda a, b: _fw_sub(a, b, p_arr)  # noqa: E731
+
+    neg = (flags & 1) > 0
+    skip = (flags & 2) > 0
+    y2 = jnp.where(neg, _fw_sub(jnp.zeros_like(y2), y2, p_arr), y2)
+
+    t0 = mul(X1, x2)
+    t1 = mul(Y1, y2)
+    t3 = sub(mul(add(X1, Y1), add(x2, y2)), add(t0, t1))  # X1 y2 + x2 Y1
+    t4 = add(mul(y2, Z1), Y1)  # Y1 Z2 + Y2 Z1 with Z2 = 1
+    ty = add(mul(x2, Z1), X1)  # X1 Z2 + X2 Z1 with Z2 = 1
+    three_t0 = _fw_mul_small(t0, 3, p_arr)
+    b3_t2 = _fw_mul_small(Z1, B3, p_arr)  # t2 = Z1 Z2 = Z1
+    z3t = add(t1, b3_t2)
+    t1m = sub(t1, b3_t2)
+    y3t = _fw_mul_small(ty, B3, p_arr)
+    X3 = sub(mul(t3, t1m), mul(t4, y3t))
+    Y3 = add(mul(y3t, three_t0), mul(t1m, z3t))
+    Z3 = add(mul(z3t, t4), mul(three_t0, t3))
+    X3 = jnp.where(skip, X1, X3)
+    Y3 = jnp.where(skip, Y1, Y3)
+    Z3 = jnp.where(skip, Z1, Z3)
+    return X3, Y3, Z3
+
+
 def _fw_point_double(P, p_arr, n0inv):
     X, Y, Z = P
     mul = lambda a, b: _fw_mont_mul(a, b, p_arr, n0inv)  # noqa: E731
@@ -251,6 +287,62 @@ def padd_pallas(pts: jnp.ndarray, qts: jnp.ndarray, p: int, n0inv: int, tile: in
         ],
         out_specs=pl.BlockSpec((tile, 3, N_LIMBS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     )(_p_col(p), pts, qts)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def pmadd_pallas(
+    pts: jnp.ndarray, qxy: jnp.ndarray, flags: jnp.ndarray, p: int, n0inv: int, tile: int
+):
+    """Masked complete mixed addition: (N,3,16) + (N,2,16) -> (N,3,16).
+
+    flags (N,1) uint32: bit0 negate Q, bit1 skip (keep P).  One fused kernel
+    per MSM bucket-accumulation step — the conditional negate and the
+    valid-select never round-trip HBM.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = pts.shape[0]
+
+    def kernel(p_ref, a_ref, q_ref, f_ref, out_ref):
+        pa = a_ref[:]
+        qa = q_ref[:]
+        P = tuple(pa[:, c, :].T for c in range(3))
+        Q = tuple(qa[:, c, :].T for c in range(2))
+        flags_row = f_ref[:].T  # (1, tile)
+        X3, Y3, Z3 = _fw_point_madd(P, Q, flags_row, p_ref[:], n0inv)
+        out_ref[:] = jnp.stack([X3.T, Y3.T, Z3.T], axis=1)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, 3, N_LIMBS), jnp.uint32),
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((N_LIMBS, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 3, N_LIMBS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 2, N_LIMBS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 3, N_LIMBS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    )(_p_col(p), pts, qxy, flags)
+
+
+def pmadd_pallas_auto(field, pts, qxy, flags, tile: int = DEFAULT_TILE):
+    """Flatten/pad wrapper around pmadd_pallas; flags (…,) uint32."""
+    batch = pts.shape[:-2]
+    n = int(np.prod(batch)) if batch else 1
+    pf = pts.reshape(n, 3, N_LIMBS)
+    qf = qxy.reshape(n, 2, N_LIMBS)
+    ff = flags.reshape(n, 1).astype(jnp.uint32)
+    t = _pick_tile(n, tile)
+    pf, real_n = _pad_to(pf, t)
+    qf, _ = _pad_to(qf, t)
+    ff_pad = (-n) % t
+    if ff_pad:
+        # padded slots: skip (keep P = zero rows)
+        ff = jnp.concatenate([ff, jnp.full((ff_pad, 1), 2, jnp.uint32)], axis=0)
+    out = pmadd_pallas(pf, qf, ff, field.p, field.n0inv, t)[:real_n]
+    return out.reshape(*batch, 3, N_LIMBS)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))

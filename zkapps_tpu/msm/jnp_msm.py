@@ -107,10 +107,24 @@ def _suffix_sums(g1: JnpG1, s: jnp.ndarray) -> jnp.ndarray:
 def _bucket_accumulate_all(
     g1: JnpG1, points: jnp.ndarray, ids: jnp.ndarray, negs: jnp.ndarray, c: int
 ) -> jnp.ndarray:
-    """All windows at once -> (W, B-1, 3, 16) bucket sums (dump bucket dropped)."""
+    """All windows at once -> (W, B-1, 3, 16) bucket sums (dump bucket dropped).
+
+    Addends are gathered as *affine* (x, y) rows and folded with the masked
+    mixed-add kernel (11 muls vs 14, 33% less gather traffic; the conditional
+    negate and valid-select fuse into the kernel).  ``points`` must be
+    host-encoded projective with Z in {0, 1} (SRS / caller points are affine).
+
+    Skew fix: the top window's digit range is ~p >> (256-c) — far fewer
+    distinct buckets than 2^(c-1), so its max occupancy is ~3x the others and
+    a single loop bound would idle every other window for the tail.  Phase 1
+    runs all windows to the non-top max; phase 2 continues the top window
+    alone on a 1/W-width slice.
+    """
     n = points.shape[0]
     n_win = ids.shape[0]
     b = (1 << (c - 1)) + 1
+    pts_xy = points[:, :2]
+    pt_inf = g1.f.is_zero(points[:, 2])
     win_off = jnp.arange(n_win, dtype=jnp.int32)[:, None] * b
     gids = (ids + win_off).reshape(-1)  # (W*n,)
     negs_flat = negs.reshape(-1)
@@ -121,19 +135,33 @@ def _bucket_accumulate_all(
     end = jnp.searchsorted(sorted_ids, bucket_range, side="right")
     count = end - start
     is_real = (bucket_range % b) != 0
-    max_count = jnp.max(jnp.where(is_real, count, 0))
+    real_count = jnp.where(is_real, count, 0)
+    max_main = jnp.max(real_count[: (n_win - 1) * b]) if n_win > 1 else jnp.int32(0)
+    max_top = jnp.max(real_count[(n_win - 1) * b :])
     total = n_win * n
 
-    buckets0 = g1.identity_like((n_win * b,))
-
-    def body(k, buckets):
-        pos = jnp.clip(start + k, 0, total - 1)
+    def step(k, buckets, start_v, count_v, real_v):
+        pos = jnp.clip(start_v + k, 0, total - 1)
         j = order[pos]
-        pts = g1.cneg(negs_flat[j], points[j % n])
-        valid = (k < count) & is_real
-        return g1.select(valid, g1.add(buckets, pts), buckets)
+        valid = (k < count_v) & real_v & ~pt_inf[j % n]
+        return g1.madd(buckets, pts_xy[j % n], negs_flat[j], valid)
 
-    buckets = jax.lax.fori_loop(0, max_count, body, buckets0)
+    buckets0 = g1.identity_like((n_win * b,))
+    buckets = jax.lax.fori_loop(
+        0,
+        max_main,
+        lambda k, bk: step(k, bk, start, count, is_real),
+        buckets0,
+    )
+    # phase 2: top window only (zero trips when max_top <= max_main)
+    lo = (n_win - 1) * b
+    top = jax.lax.fori_loop(
+        max_main,
+        max_top,
+        lambda k, bk: step(k, bk, start[lo:], count[lo:], is_real[lo:]),
+        buckets[lo:],
+    )
+    buckets = jnp.concatenate([buckets[:lo], top], axis=0)
     return buckets.reshape(n_win, b, 3, N_LIMBS)[:, 1:]
 
 
