@@ -74,6 +74,31 @@ class Context:
     rc_rows: list[tuple[int, tuple[int, ...]]] = field(default_factory=list)  # (row, rc[0..4])
     # (p_col, p_row) <-> a-cell equalities (sponge input/output wiring)
     p_copies: list[tuple[tuple[int, int], int]] = field(default_factory=list)
+    # -- lookup argument (logUp) -------------------------------------------
+    # The reference's halo2_proofs carries halo2's permuted-column lookup
+    # (SURVEY.md §2.2 X2); this builder provides the same capability via the
+    # log-derivative formulation (logUp), which is TPU-friendlier: proving
+    # needs a multiplicity count + one batched inversion instead of sorting.
+    # Each named table gets a fixed column t_<name>, an advice input column
+    # lk_<name> (cells copied from `a`), a multiplicity column m_<name>, and
+    # a running-sum column zl_<name> with the identity
+    #   (zl(wX) - zl(X)) (beta+lk)(beta+t) + m (beta+lk) - (beta+t) = 0.
+    lookup_tables: dict[str, tuple[int, ...]] = field(default_factory=dict)
+    lookup_cells: dict[str, list[int]] = field(default_factory=dict)
+
+    def add_lookup_table(self, name: str, values) -> None:
+        vals = tuple(v % P for v in values)
+        assert vals, "empty lookup table"
+        if name in self.lookup_tables:
+            assert self.lookup_tables[name] == vals, f"table {name} redefined"
+            return
+        self.lookup_tables[name] = vals
+        self.lookup_cells.setdefault(name, [])
+
+    def lookup(self, name: str, x: "AssignedValue") -> None:
+        """Constrain x's value to be a member of the named table."""
+        assert name in self.lookup_tables, f"unknown lookup table {name}"
+        self.lookup_cells[name].append(x.index)
 
     @property
     def p_num_rows(self) -> int:

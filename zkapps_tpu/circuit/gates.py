@@ -108,3 +108,32 @@ class GateChip:
 
     def or_(self, a: AssignedValue, b: AssignedValue) -> AssignedValue:
         return self.sub(self.add(a, b), self.mul(a, b))
+
+    # -- lookups / range checks (halo2-base RangeChip analog) --------------
+    def range_check(self, a: AssignedValue, bits: int) -> None:
+        """Constrain 0 <= a < 2^bits via a lookup into the [0, 2^bits) table.
+
+        Mirrors halo2-base's RangeChip::range_check capability (SURVEY.md
+        §2.2 X3); here a single lookup suffices for any table that fits the
+        domain (keygen checks 2^bits <= n - 2)."""
+        name = f"range_{bits}"
+        self.ctx.add_lookup_table(name, range(1 << bits))
+        self.ctx.lookup(name, a)
+
+    def range_check_decomposed(self, a: AssignedValue, bits: int, limb_bits: int) -> None:
+        """Range check wide values by limb decomposition: a = sum limb_i 2^(i*l),
+        each limb range-checked against the 2^limb_bits table (halo2-base's
+        decomposition strategy for values wider than the lookup table)."""
+        assert bits % limb_bits == 0
+        n_limbs = bits // limb_bits
+        v = a.value
+        limbs = [(v >> (i * limb_bits)) & ((1 << limb_bits) - 1) for i in range(n_limbs)]
+        acc = None
+        cells = []
+        for lv in limbs:
+            cell = self.ctx.load_witness(lv)
+            self.range_check(cell, limb_bits)
+            cells.append(cell)
+        for i, cell in enumerate(reversed(cells)):
+            acc = cell if acc is None else self.mul_add(acc, self.const(1 << limb_bits), cell)
+        self.assert_equal(acc, a)

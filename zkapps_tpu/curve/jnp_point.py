@@ -262,5 +262,20 @@ class JnpG1:
         y = f.mul(p[..., 1, :], zinv)
         return jnp.stack([x, y], axis=-2)
 
+    def normalize(self, p: jnp.ndarray) -> jnp.ndarray:
+        """Batch-normalize (n, 3, 16) projective -> same shape with Z in {0, 1}.
+
+        The MSM bucket kernel's mixed-add fast path (``madd``) requires
+        host-encoded points (affine with Z=1, or identity with Z=0); any
+        device-computed points (e.g. SRS powers from ``batch_scalar_mul``)
+        must pass through here before being fed to ``msm``.
+        """
+        f = self.f
+        aff = self.to_affine(p)
+        inf = f.is_zero(p[..., 2, :])
+        one = jnp.broadcast_to(f.encode_scalar(1), p[..., 2, :].shape)
+        z = jnp.where(inf[..., None], jnp.zeros_like(one), one)
+        return jnp.concatenate([aff, z[..., None, :]], axis=-2)
+
 
 G1_JNP = JnpG1(FQ)

@@ -104,6 +104,19 @@ def _suffix_sums(g1: JnpG1, s: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def _tier_widths(full: int, floor: int = 1 << 14) -> list[int]:
+    """Shrinking prefix widths: full, then halving powers of two down to
+    ``floor`` (the point where step-loop latency, not width, dominates)."""
+    widths = [full]
+    w = 1 << (full - 1).bit_length()
+    while w >= full:
+        w >>= 1
+    while w >= floor:
+        widths.append(w)
+        w >>= 1
+    return widths
+
+
 def _bucket_accumulate_all(
     g1: JnpG1, points: jnp.ndarray, ids: jnp.ndarray, negs: jnp.ndarray, c: int
 ) -> jnp.ndarray:
@@ -114,54 +127,77 @@ def _bucket_accumulate_all(
     negate and valid-select fuse into the kernel).  ``points`` must be
     host-encoded projective with Z in {0, 1} (SRS / caller points are affine).
 
-    Skew fix: the top window's digit range is ~p >> (256-c) — far fewer
-    distinct buckets than 2^(c-1), so its max occupancy is ~3x the others and
-    a single loop bound would idle every other window for the tail.  Phase 1
-    runs all windows to the non-top max; phase 2 continues the top window
-    alone on a 1/W-width slice.
+    The dominating device cost is the per-step random ROW GATHER of addends
+    (~33 ns/row on v5e — two orders of magnitude off HBM streaming), so the
+    layout minimizes gathered rows:
+
+    * one ``lax.sort`` of (gid, rec) pairs where rec packs point index and
+      digit sign — each step then needs ONE scalar gather (rec) + ONE row
+      gather (the point), instead of separate order/neg/infinity lookups;
+    * **occupancy tiers**: buckets are ranked by descending count and the
+      step loop runs on shrinking prefix widths — tier t covers steps
+      [count_at_rank(W_t), count_at_rank(W_{t+1})) at width W_t, so total
+      gathered rows track the area under the sorted-count curve (~= the
+      number of (window, point) pairs) instead of max_occupancy * all
+      buckets (~2x fewer at c=16; also absorbs the top-window digit-range
+      skew without a special phase).
     """
     n = points.shape[0]
     n_win = ids.shape[0]
     b = (1 << (c - 1)) + 1
+    width = n_win * b
+    total = n_win * n
     pts_xy = points[:, :2]
     pt_inf = g1.f.is_zero(points[:, 2])
     win_off = jnp.arange(n_win, dtype=jnp.int32)[:, None] * b
-    gids = (ids + win_off).reshape(-1)  # (W*n,)
-    negs_flat = negs.reshape(-1)
-    order = jnp.argsort(gids)
-    sorted_ids = gids[order]
-    bucket_range = jnp.arange(n_win * b, dtype=jnp.int32)
-    start = jnp.searchsorted(sorted_ids, bucket_range)
-    end = jnp.searchsorted(sorted_ids, bucket_range, side="right")
-    count = end - start
+    gids = ids + win_off  # (W, n)
+    # infinity points and dump digits both land in the window's dump bucket
+    gids = jnp.where(pt_inf[None, :], win_off, gids).reshape(-1)
+    pt_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.uint32)[None], (n_win, n))
+    rec = (pt_idx | (negs.astype(jnp.uint32) << 31)).reshape(-1)
+    sorted_gid, sorted_rec = jax.lax.sort((gids, rec), num_keys=1)
+
+    bucket_range = jnp.arange(width, dtype=jnp.int32)
+    start = jnp.searchsorted(sorted_gid, bucket_range)
+    end = jnp.searchsorted(sorted_gid, bucket_range, side="right")
     is_real = (bucket_range % b) != 0
-    real_count = jnp.where(is_real, count, 0)
-    max_main = jnp.max(real_count[: (n_win - 1) * b]) if n_win > 1 else jnp.int32(0)
-    max_top = jnp.max(real_count[(n_win - 1) * b :])
-    total = n_win * n
+    count = jnp.where(is_real, end - start, 0)
 
-    def step(k, buckets, start_v, count_v, real_v):
-        pos = jnp.clip(start_v + k, 0, total - 1)
-        j = order[pos]
-        valid = (k < count_v) & real_v & ~pt_inf[j % n]
-        return g1.madd(buckets, pts_xy[j % n], negs_flat[j], valid)
+    # occupancy ranking: process heavy buckets first so later (deeper) steps
+    # run on narrow prefixes
+    rank = jnp.argsort(-count)
+    count_r = count[rank]  # descending
+    start_r = start[rank]
 
-    buckets0 = g1.identity_like((n_win * b,))
-    buckets = jax.lax.fori_loop(
-        0,
-        max_main,
-        lambda k, bk: step(k, bk, start, count, is_real),
-        buckets0,
-    )
-    # phase 2: top window only (zero trips when max_top <= max_main)
-    lo = (n_win - 1) * b
-    top = jax.lax.fori_loop(
-        max_main,
-        max_top,
-        lambda k, bk: step(k, bk, start[lo:], count[lo:], is_real[lo:]),
-        buckets[lo:],
-    )
-    buckets = jnp.concatenate([buckets[:lo], top], axis=0)
+    def make_step(w_t: int):
+        start_t = start_r[:w_t]
+        count_t = count_r[:w_t]
+
+        def step(k, buckets_t):
+            pos = jnp.clip(start_t + k, 0, total - 1)
+            r = sorted_rec[pos]
+            j = (r & 0x7FFFFFFF).astype(jnp.int32)
+            valid = k < count_t
+            return g1.madd(buckets_t, pts_xy[j], (r >> 31) > 0, valid)
+
+        return step
+
+    buckets = g1.identity_like((width,))
+    widths = _tier_widths(width)
+    k_lo = jnp.int32(0)
+    for t, w_t in enumerate(widths):
+        # tier t runs while >W_{t+1} buckets can still be active
+        if t + 1 < len(widths):
+            k_hi = count_r[widths[t + 1]]
+        else:
+            k_hi = count_r[0]  # max occupancy
+        tier = jax.lax.fori_loop(k_lo, k_hi, make_step(w_t), buckets[:w_t])
+        buckets = jax.lax.dynamic_update_slice_in_dim(buckets, tier, 0, axis=0)
+        k_lo = jnp.maximum(k_lo, k_hi)
+
+    # un-permute rank space -> (window, bucket) space
+    inv = jnp.zeros((width,), jnp.int32).at[rank].set(bucket_range)
+    buckets = buckets[inv]
     return buckets.reshape(n_win, b, 3, N_LIMBS)[:, 1:]
 
 
@@ -194,14 +230,44 @@ def msm_buckets(points: jnp.ndarray, scalars_std: jnp.ndarray, c: int) -> jnp.nd
     return _bucket_accumulate_all(g1, points, ids, negs, c)
 
 
-def window_sums_of(buckets: jnp.ndarray) -> jnp.ndarray:
-    """Pippenger phase 2: sum_b b*S_b per window via double suffix scan.
+def _tree_sum_points(g1: JnpG1, x: jnp.ndarray) -> jnp.ndarray:
+    """Point-add halving tree over axis 0 -> (1, ...)."""
+    while x.shape[0] > 1:
+        half = x.shape[0] // 2
+        rest = x[2 * half :]
+        x = g1.add(x[:half], x[half : 2 * half])
+        if rest.shape[0]:
+            x = jnp.concatenate([x, rest], axis=0)
+    return x
 
-    buckets (W, B-1, 3, 16) -> (W, 3, 16)."""
+
+def window_sums_of(buckets: jnp.ndarray) -> jnp.ndarray:
+    """Pippenger phase 2: sum_b b*S_b per window, work-efficient pair-fold.
+
+    buckets (W, B-1, 3, 16) -> (W, 3, 16), where slot i holds bucket i+1.
+
+    Let f(x) = sum_i (i+1) x_i (= sum of all inclusive suffix sums).  Pairing
+    y_i = x_{2i} + x_{2i+1} gives f(x) = 2 f(y) - E(x) with E = sum of
+    even-indexed elements, so unrolling all log2(B) levels:
+
+        f = 2^L x_final - sum_l 2^l E_l   (Horner: ((x*2 - E_{L-1})*2 - ...)
+
+    Total work ~2B point adds at VPU-saturating widths — vs 2 B log2(B) for
+    the double Hillis-Steele suffix scan this replaces (~15x less at c=16).
+    """
     g1 = G1_JNP
-    arr = jnp.moveaxis(buckets, 0, 1)  # (B-1, W, 3, 16)
-    suffix = _suffix_sums(g1, arr)
-    return _suffix_sums(g1, suffix)[0]
+    x = jnp.moveaxis(buckets, 0, 1)  # (B-1, W, 3, 16); B-1 = 2^(c-1), pow2
+    evens: list[jnp.ndarray] = []
+    while x.shape[0] > 1:
+        if x.shape[0] % 2:  # high-end identity pad leaves f unchanged
+            x = jnp.concatenate([x, g1.identity_like((1,) + x.shape[1:-2])], axis=0)
+        ev, od = x[0::2], x[1::2]
+        evens.append(_tree_sum_points(g1, ev))
+        x = g1.add(ev, od)
+    acc = x  # (1, W, 3, 16)
+    for e in reversed(evens):
+        acc = g1.add(g1.double(acc), g1.neg(e))
+    return acc[0]
 
 
 def msm_core(points: jnp.ndarray, scalars_std: jnp.ndarray, c: int) -> jnp.ndarray:

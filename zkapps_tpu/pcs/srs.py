@@ -47,7 +47,11 @@ def setup(log_n: int, seed: bytes = b"zkapps-tpu-dev-srs") -> SRS:
     pows = powers_device(FR, FR.encode_scalar(tau), n)  # (n,16) Montgomery
     pows_std = FR.from_mont(pows)
     base = G1_JNP.encode([G1.generator()] * n)
-    g1_powers = jax.jit(G1_JNP.batch_scalar_mul)(base, pows_std)
+    # Normalize to Z in {0,1}: msm's mixed-add bucket kernel requires
+    # host-encoded (affine) points, and batch_scalar_mul leaves arbitrary Z.
+    g1_powers = jax.jit(lambda b, s: G1_JNP.normalize(G1_JNP.batch_scalar_mul(b, s)))(
+        base, pows_std
+    )
     return SRS(
         g1_powers=g1_powers,
         g2=G2.generator(),

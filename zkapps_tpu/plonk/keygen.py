@@ -60,9 +60,13 @@ class CircuitLayout:
     q_pp_rows: tuple[int, ...] = ()
     rc_rows: tuple[tuple[int, tuple[int, ...]], ...] = ()
     p_copies: tuple[tuple[tuple[int, int], int], ...] = ()
+    # lookup (logUp): ordered (name, table values) and (name, a-cell indices)
+    lookup_tables: tuple[tuple[str, tuple[int, ...]], ...] = ()
+    lookup_cells: tuple[tuple[str, tuple[int, ...]], ...] = ()
 
     @staticmethod
     def of(ctx: Context) -> "CircuitLayout":
+        names = sorted(ctx.lookup_tables)
         return CircuitLayout(
             num_rows=ctx.num_rows,
             q_a_rows=tuple(ctx.q_a_rows),
@@ -75,6 +79,8 @@ class CircuitLayout:
             q_pp_rows=tuple(ctx.q_pp_rows),
             rc_rows=tuple(ctx.rc_rows),
             p_copies=tuple(ctx.p_copies),
+            lookup_tables=tuple((nm, ctx.lookup_tables[nm]) for nm in names),
+            lookup_cells=tuple((nm, tuple(ctx.lookup_cells.get(nm, ()))) for nm in names),
         )
 
 
@@ -87,32 +93,55 @@ class PlonkVK:
     commitments: dict[str, G1]  # all fixed polys (selectors, constants, sigmas)
     multiopen: str = "gwc"  # 'gwc' | 'shplonk' (halo2_proofs offers both)
     poseidon: bool = False
+    lookups: tuple[str, ...] = ()  # lookup table names (logUp argument)
 
     @property
     def advice_names(self) -> list[str]:
-        return ["a"] + ([f"p{i}" for i in range(N_POSEIDON_COLS)] if self.poseidon else [])
+        """Committed advice columns, in transcript order."""
+        names = ["a"]
+        if self.poseidon:
+            names += [f"p{i}" for i in range(N_POSEIDON_COLS)]
+        names += [f"lk_{t}" for t in self.lookups]
+        names += [f"m_{t}" for t in self.lookups]
+        return names
+
+    @property
+    def perm_col_names(self) -> list[str]:
+        """Columns participating in the permutation argument (instance is
+        appended implicitly as the last column index).  Multiplicity columns
+        carry no copy constraints and stay out."""
+        names = ["a"]
+        if self.poseidon:
+            names += [f"p{i}" for i in range(N_POSEIDON_COLS)]
+        names += [f"lk_{t}" for t in self.lookups]
+        return names
 
     @property
     def num_cols(self) -> int:
-        """Permutation columns: advice + instance."""
-        return len(self.advice_names) + 1
+        """Permutation columns: perm advice + instance."""
+        return len(self.perm_col_names) + 1
 
     @property
     def chunks(self) -> list[list[int]]:
-        """Permutation column chunks (instance = last column index)."""
-        if self.poseidon:
-            return [[0, 1, 2, 3, 4], [5, 6]]
-        return [[0, 1]]
+        """Permutation column chunks (instance = last column index).
+
+        Wide-budget circuits (poseidon / lookups run on the 8n coset) chunk
+        columns in groups of <=5 (gated product degree <= 7); plain circuits
+        keep the single full-wrap [a, instance] chunk (degree 3 on 4n)."""
+        cols = list(range(self.num_cols))
+        if not (self.poseidon or self.lookups):
+            return [cols]
+        return [cols[i : i + 5] for i in range(0, len(cols), 5)]
 
     @property
     def ext_log_add(self) -> int:
-        return 3 if self.poseidon else 2
+        return 3 if (self.poseidon or self.lookups) else 2
 
     @property
     def num_h_chunks(self) -> int:
         # max constraint degree after blinding: plain 3n+7 -> h deg <= 2n+7
-        # (3 chunks); poseidon chunk-0 product 7n+13 -> h deg <= 6n+13 (7).
-        return 7 if self.poseidon else 3
+        # (3 chunks); poseidon/lookup chunk-0 product 7n+13 -> h <= 6n+13 (7).
+        return 7 if (self.poseidon or self.lookups) else 3
 
 
 @dataclass
@@ -129,6 +158,8 @@ class PlonkPK:
     sigma_vals: list[jnp.ndarray]
     # instance copy positions (advice_cell -> instance_row), for witness prep
     public_rows: tuple[int, ...]
+    # lookup tables: (name, padded-to-n host values) for multiplicity counts
+    lookup_tables: tuple[tuple[str, tuple[int, ...]], ...] = ()
     # coset tables (ext*n, 16)
     x_coset: jnp.ndarray
     zh_inv_coset: jnp.ndarray
@@ -163,6 +194,10 @@ def keygen(
     # rotation margin: 4-row flat gate window; Poseidon row-pair needs +1 and
     # the chunked permutation keeps the last row copy-free.
     min_n = max(layout.num_rows + 4, layout.p_num_rows + 2, layout.num_publics + 2)
+    for name, table in layout.lookup_tables:
+        min_n = max(min_n, len(table))
+    for name, cells in layout.lookup_cells:
+        min_n = max(min_n, len(cells) + 2)
     if log_n is None:
         log_n = max(3, (min_n - 1).bit_length())
     n = 1 << log_n
@@ -192,17 +227,30 @@ def keygen(
         for r, rcs in layout.rc_rows:
             for i, c in enumerate(rcs):
                 fixed[f"rc{i}"][r] = c % P
+    # lookup fixed tables: padded to n by repeating the first entry (padding
+    # rows stay valid table members; multiplicities absorb the input padding)
+    padded_tables: list[tuple[str, tuple[int, ...]]] = []
+    for name, table in layout.lookup_tables:
+        padded = tuple(table) + (table[0],) * (n - len(table))
+        padded_tables.append((name, padded))
+        fixed[f"t_{name}"] = np.array(padded, dtype=object)
 
     # -- permutation sigmas ----------------------------------------------
-    # node id = col * n + row; columns [a, (p0..p4,) instance]
-    n_advice = 1 + (N_POSEIDON_COLS if layout.poseidon else 0)
-    n_cols = n_advice + 1
+    # node id = col * n + row; columns [a, (p0..p4,) lk_*, instance]
+    n_pose = N_POSEIDON_COLS if layout.poseidon else 0
+    n_lk = len(layout.lookup_tables)
+    n_perm_advice = 1 + n_pose + n_lk
+    n_cols = n_perm_advice + 1
     inst_col = n_cols - 1
     uf = _UnionFind(n_cols * n)
     for i, j in layout.copies:
         uf.union(i, j)  # col 0 rows
     for (pc, prow), a_idx in layout.p_copies:
         uf.union((1 + pc) * n + prow, a_idx)
+    for li, (name, cells) in enumerate(layout.lookup_cells):
+        col = 1 + n_pose + li
+        for row, a_idx in enumerate(cells):
+            uf.union(col * n + row, a_idx)
     for k, cell in enumerate(ctx.publics):
         uf.union(cell, inst_col * n + k)
     cycles: dict[int, list[int]] = {}
@@ -246,6 +294,7 @@ def keygen(
         commitments=commitments,
         multiopen=multiopen,
         poseidon=layout.poseidon,
+        lookups=tuple(name for name, _ in layout.lookup_tables),
     )
 
     # -- coset tables ------------------------------------------------------
@@ -292,6 +341,7 @@ def keygen(
         ids=ids,
         sigma_vals=sigma_vals,
         public_rows=tuple(ctx.publics),
+        lookup_tables=tuple(padded_tables),
         x_coset=x_coset,
         zh_inv_coset=zh_inv_coset,
         l0_coset=l0_coset,

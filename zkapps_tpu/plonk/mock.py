@@ -34,6 +34,13 @@ def check_circuit(ctx: Context) -> None:
             raise ConstraintFailure(f"copy constraint failed: cell {i} != cell {j}")
     if ctx.poseidon_gate and ctx.p_num_rows:
         _check_poseidon_rows(ctx)
+    for name, cells in ctx.lookup_cells.items():
+        table = set(ctx.lookup_tables[name])
+        for i in cells:
+            if a[i] % P not in table:
+                raise ConstraintFailure(
+                    f"lookup failed: cell {i} value not in table {name}"
+                )
 
 
 def _check_poseidon_rows(ctx: Context) -> None:

@@ -64,17 +64,23 @@ def opening_plan(vk: PlonkVK) -> list[tuple[str, list[str]]]:
     if vk.poseidon:
         for i in range(N_POSEIDON_COLS):
             plan.append((f"p{i}", ["x", "wx"]))
+    for t in vk.lookups:
+        plan.append((f"lk_{t}", ["x"]))
+        plan.append((f"m_{t}", ["x"]))
     n_chunks = len(vk.chunks)
     for k in range(n_chunks):
         pts = ["x", "wx"]
         if n_chunks > 1 and k == 0:
             pts.append("wlx")
         plan.append((f"z{k}", pts))
+    for t in vk.lookups:
+        plan.append((f"zl_{t}", ["x", "wx"]))
     for i in range(vk.num_h_chunks):
         plan.append((f"h{i}", ["x"]))
     fixed = ["q_a", "q_c", "f"]
     if vk.poseidon:
         fixed += ["q_pf", "q_pp"] + [f"rc{i}" for i in range(N_POSEIDON_COLS)]
+    fixed += [f"t_{t}" for t in vk.lookups]
     fixed += [f"sigma{c}" for c in range(vk.num_cols)]
     for name in fixed:
         plan.append((name, ["x"]))
@@ -157,6 +163,24 @@ def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False, rng=None) -> by
         for i in range(N_POSEIDON_COLS):
             pad = [0] * (n - ctx.p_num_rows)
             col_vals[f"p{i}"] = FR.encode([v % P for v in ctx.p_cols[i]] + pad)
+    # lookup columns: inputs (padded with the table's first entry) and
+    # multiplicities over the padded table (logUp)
+    lookup_t_ints: dict[str, tuple[int, ...]] = dict(pk.lookup_tables)
+    for t in vk.lookups:
+        table = lookup_t_ints[t]
+        cells = ctx.lookup_cells.get(t, [])
+        inputs = [ctx.advice[i] % P for i in cells]
+        inputs += [table[0]] * (n - len(inputs))
+        first_row: dict[int, int] = {}
+        for r, tv in enumerate(table):
+            first_row.setdefault(tv, r)
+        m_ints = [0] * n
+        for v in inputs:
+            r = first_row.get(v)
+            assert r is not None, f"lookup input {v} not in table {t}"
+            m_ints[r] += 1
+        col_vals[f"lk_{t}"] = FR.encode(inputs)
+        col_vals[f"m_{t}"] = FR.encode(m_ints)
     pi_ints = publics + [0] * (n - len(publics))
     pi_vals = FR.encode(pi_ints)
     pi_coeffs = plan.inverse(pi_vals)  # public: never blinded
@@ -229,6 +253,26 @@ def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False, rng=None) -> by
         z_coeffs = _blind_zh(plan.inverse(z_vals), blinds)
         z_coeffs_list.append(z_coeffs)
         transcript.write_point(pk.kzg.commit(z_coeffs))
+
+    # -- lookup running sums (logUp) ---------------------------------------
+    # zl_0 = 0, zl_{i+1} = zl_i + 1/(beta+lk_i) - m_i/(beta+t_i); the full
+    # wrap forces sum_i [1/(beta+lk_i) - m_i/(beta+t_i)] = 0.
+    import jax as _jax
+
+    zl_coeffs: dict[str, jnp.ndarray] = {}
+    for t in vk.lookups:
+        t_vals = FR.encode(list(lookup_t_ints[t]))
+        inv_a = FR.batch_inv(FR.add(col_vals[f"lk_{t}"], beta_m))
+        inv_t = FR.batch_inv(FR.add(t_vals, beta_m))
+        delta = FR.sub(inv_a, FR.mul(col_vals[f"m_{t}"], inv_t))
+        csum = _jax.lax.associative_scan(FR.add, delta, axis=0)
+        zl_vals = jnp.concatenate([jnp.zeros_like(csum[:1]), csum[:-1]], axis=0)
+        if debug_checks:
+            total = FR.decode_scalar(csum[-1])
+            assert total == 0, f"lookup {t} log-derivative sum != 0: {total}"
+        blinds = _rand_frs(open_counts[f"zl_{t}"] + 1, rng)
+        zl_coeffs[t] = _blind_zh(plan.inverse(zl_vals), blinds)
+        transcript.write_point(pk.kzg.commit(zl_coeffs[t]))
     _mark("commit Z", t0)
 
     y = transcript.squeeze_challenge()
@@ -291,6 +335,25 @@ def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False, rng=None) -> by
             for i in range(1, N_POSEIDON_COLS):
                 acc = FR.add(acc, FR.mul(mds_m[j][i], t_lin[i]))
             constraints.append(FR.mul(fx["q_pp"], FR.sub(rot(p_x[j], 1), acc)))
+
+    # lookup constraints (logUp):
+    #   (zl(wX) - zl(X)) (beta+lk)(beta+t) + m (beta+lk) - (beta+t) = 0
+    #   L_0 * zl = 0
+    zl_x = {t: coset(zl_coeffs[t]) for t in vk.lookups}
+    for t in vk.lookups:
+        lk_x = col_x[f"lk_{t}"]
+        m_x = col_x[f"m_{t}"]
+        t_x = fx[f"t_{t}"]
+        b_lk = FR.add(lk_x, beta_m)
+        b_t = FR.add(t_x, beta_m)
+        diff = FR.sub(rot(zl_x[t], 1), zl_x[t])
+        constraints.append(
+            FR.add(
+                FR.mul(FR.mul(diff, b_lk), b_t),
+                FR.sub(FR.mul(m_x, b_lk), b_t),
+            )
+        )
+        constraints.append(FR.mul(pk.l0_coset, zl_x[t]))
 
     # permutation constraints
     delta_pows = [pow(DELTA, c, P) for c in range(vk.num_cols)]
@@ -361,6 +424,8 @@ def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False, rng=None) -> by
         polys[name] = col_coeffs[name]
     for k, zc in enumerate(z_coeffs_list):
         polys[f"z{k}"] = zc
+    for t in vk.lookups:
+        polys[f"zl_{t}"] = zl_coeffs[t]
     for i, h in enumerate(h_chunks):
         polys[f"h{i}"] = h
     for name, c in pk.coeffs.items():

@@ -37,6 +37,7 @@ def _verify(vk: PlonkVK, kzg: KZG, proof: bytes, publics: list[int]) -> bool:
     beta = tr.squeeze_challenge()
     gamma = tr.squeeze_challenge()
     z_comms = [tr.read_point() for _ in vk.chunks]
+    zl_comms = {t: tr.read_point() for t in vk.lookups}
     y = tr.squeeze_challenge()
     h_comms = [tr.read_point() for _ in range(vk.num_h_chunks)]
     x = tr.squeeze_challenge()
@@ -92,6 +93,14 @@ def _verify(vk: PlonkVK, kzg: KZG, proof: bytes, publics: list[int]) -> bool:
             ) % P
             constraints.append(e("q_pp") * ((e(f"p{j}", "wx") - acc) % P) % P)
 
+    # lookup constraints (logUp; order mirrors the prover)
+    for t in vk.lookups:
+        b_lk = (e(f"lk_{t}") + beta) % P
+        b_t = (e(f"t_{t}") + beta) % P
+        diff = (e(f"zl_{t}", "wx") - e(f"zl_{t}")) % P
+        constraints.append((diff * b_lk % P * b_t + e(f"m_{t}") * b_lk - b_t) % P)
+        constraints.append(l0_x * e(f"zl_{t}") % P)
+
     single_chunk = len(vk.chunks) == 1
     for k, chunk in enumerate(vk.chunks):
         lhs = e(f"z{k}", "wx")
@@ -123,6 +132,8 @@ def _verify(vk: PlonkVK, kzg: KZG, proof: bytes, publics: list[int]) -> bool:
     commitments: dict[str, G1] = dict(advice_comms)
     for k, zc in enumerate(z_comms):
         commitments[f"z{k}"] = zc
+    for t, zc in zl_comms.items():
+        commitments[f"zl_{t}"] = zc
     for i, hc in enumerate(h_comms):
         commitments[f"h{i}"] = hc
     commitments.update(vk.commitments)
