@@ -158,13 +158,13 @@ class PlonkPK:
     sigma_vals: list[jnp.ndarray]
     # instance copy positions (advice_cell -> instance_row), for witness prep
     public_rows: tuple[int, ...]
-    # lookup tables: (name, padded-to-n host values) for multiplicity counts
-    lookup_tables: tuple[tuple[str, tuple[int, ...]], ...] = ()
     # coset tables (ext*n, 16)
     x_coset: jnp.ndarray
     zh_inv_coset: jnp.ndarray
     l0_coset: jnp.ndarray
     llast_coset: jnp.ndarray
+    # lookup tables: (name, padded-to-n host values) for multiplicity counts
+    lookup_tables: tuple[tuple[str, tuple[int, ...]], ...] = ()
     # Poseidon MDS (host ints) when the gate is active
     mds: tuple[tuple[int, ...], ...] = ()
 
