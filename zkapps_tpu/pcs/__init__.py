@@ -1,4 +1,5 @@
+from .ipa import IPA, IPAParams, ipa_setup
 from .kzg import KZG
 from .srs import SRS, get_srs, setup
 
-__all__ = ["KZG", "SRS", "setup", "get_srs"]
+__all__ = ["KZG", "IPA", "IPAParams", "ipa_setup", "SRS", "setup", "get_srs"]
