@@ -37,6 +37,17 @@ def main() -> None:
     n = 1 << log_n
 
     import jax
+
+    # Persistent compile cache: the unrolled Mosaic/XLA graphs for the MSM
+    # take minutes to compile cold; a repo-local cache makes repeat bench
+    # runs (and the driver's run) start in seconds.
+    cache_dir = os.environ.get(
+        "ZKTPU_COMPILE_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache")
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
     import jax.numpy as jnp
 
     from zkapps_tpu.fields.jnp_ops import FR, set_backend, set_unroll

@@ -12,6 +12,17 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "ZKTPU_COMPILE_CACHE",
+        str(pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"),
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -49,6 +60,29 @@ def phase_digits(scalars):
 
 
 @jax.jit
+def phase_sort(points, ids, negs):
+    """The sort/searchsorted/rank prologue of _bucket_accumulate_all, alone."""
+    n_ = points.shape[0]
+    n_win = ids.shape[0]
+    b = (1 << (c - 1)) + 1
+    width = n_win * b
+    pt_inf = g1.f.is_zero(points[:, 2])
+    win_off = jnp.arange(n_win, dtype=jnp.int32)[:, None] * b
+    gids = ids + win_off
+    gids = jnp.where(pt_inf[None, :], win_off, gids).reshape(-1)
+    pt_idx = jnp.broadcast_to(jnp.arange(n_, dtype=jnp.uint32)[None], (n_win, n_))
+    rec = (pt_idx | (negs.astype(jnp.uint32) << 31)).reshape(-1)
+    sorted_gid, sorted_rec = jax.lax.sort((gids, rec), num_keys=1)
+    bucket_range = jnp.arange(width, dtype=jnp.int32)
+    start = jnp.searchsorted(sorted_gid, bucket_range)
+    end = jnp.searchsorted(sorted_gid, bucket_range, side="right")
+    is_real = (bucket_range % b) != 0
+    count = jnp.where(is_real, end - start, 0)
+    rank = jnp.argsort(-count)
+    return sorted_rec, count[rank], start[rank]
+
+
+@jax.jit
 def phase_buckets(points, ids, negs):
     return M._bucket_accumulate_all(g1, points, ids, negs, c)
 
@@ -76,6 +110,7 @@ def bench(name, fn, *args, iters=3):
 
 
 (ids, negs), t1 = bench("digits", phase_digits, scalars)
+_, t_sort = bench("sort-only", phase_sort, points, ids, negs)
 buckets, t2 = bench("buckets", phase_buckets, points, ids, negs)
 wsums, t3 = bench("reduce", phase_reduce, buckets)
 acc, t4 = bench("combine", phase_combine, wsums)

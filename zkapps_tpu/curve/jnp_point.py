@@ -190,6 +190,40 @@ class JnpG1:
         )
         return self.select(valid, out, p)
 
+    @staticmethod
+    def pack_affine(qxy: jnp.ndarray) -> jnp.ndarray:
+        """(…, 2, 16) affine rows -> (…, 16) packed: two 16-bit limbs per u32.
+
+        Split-half order per coordinate: word j = limb[j] | limb[j+8] << 16,
+        x in words 0..7, y in words 8..15.  Halves the bytes per gathered row
+        in the MSM bucket loop (the gather is the dominant cost there); the
+        kernel unpacks with one shift+mask+concat per coordinate.
+        """
+        h = N_LIMBS // 2
+        x, y = qxy[..., 0, :], qxy[..., 1, :]
+        px = x[..., :h] | (x[..., h:] << 16)
+        py = y[..., :h] | (y[..., h:] << 16)
+        return jnp.concatenate([px, py], axis=-1)
+
+    @staticmethod
+    def unpack_affine(qpk: jnp.ndarray) -> jnp.ndarray:
+        """Inverse of pack_affine: (…, 16) -> (…, 2, 16)."""
+        h = N_LIMBS // 2
+        mask = jnp.uint32(0xFFFF)
+        xw, yw = qpk[..., :h], qpk[..., h:]
+        x = jnp.concatenate([xw & mask, xw >> 16], axis=-1)
+        y = jnp.concatenate([yw & mask, yw >> 16], axis=-1)
+        return jnp.stack([x, y], axis=-2)
+
+    def madd_packed(self, p, qpk, q_neg, valid) -> jnp.ndarray:
+        """madd with pack_affine-packed addend rows (the MSM gather format)."""
+        if self._pallas_batch(p) >= 128:
+            from ..fields.pallas_ops import pmadd_packed_pallas_auto
+
+            flags = (q_neg.astype(jnp.uint32) & 1) | ((~valid).astype(jnp.uint32) << 1)
+            return pmadd_packed_pallas_auto(self.f, p, qpk, flags)
+        return self.madd(p, self.unpack_affine(qpk), q_neg, valid)
+
     def double(self, p: jnp.ndarray) -> jnp.ndarray:
         """Complete doubling (RCB15 Algorithm 9, a=0, b3=9)."""
         f = self.f

@@ -30,6 +30,16 @@ from .limbs import LIMB_BITS, LIMB_MASK, N_LIMBS, int_to_limbs
 MASK = LIMB_MASK  # python int — do not capture traced constants in kernels
 DEFAULT_TILE = 1024
 
+# Interpret mode: run the kernels as de-sugared jax ops (any backend) — used
+# by the CPU test suite to parity-check kernel logic without a TPU.  Static
+# jit arg, so both modes can coexist in one process.
+_INTERPRET = False
+
+
+def set_interpret(flag: bool) -> None:
+    global _INTERPRET
+    _INTERPRET = flag
+
 
 # ---------------------------------------------------------------------------
 # full-width (16, T) limb helpers (used INSIDE kernels)
@@ -112,27 +122,44 @@ def _fw_mul_small(a, k: int, p_arr):
 def _fw_mont_mul(a, b, p_arr, n0inv: int):
     """Lazy-column Montgomery product, (16,T) x (16,T) -> (16,T).
 
-    Same algorithm/bounds as jnp_ops.LimbField.mul."""
-    t = jnp.zeros((N_LIMBS + 1, a.shape[1]), jnp.uint32)
+    Same algorithm/bounds as jnp_ops.LimbField.mul, but the lazy-column
+    state stays a sublane-ALIGNED (16,T) tensor plus a (1,T) top column:
+    Mosaic tiles (17,T) u32 as 3x(8,128) sublane tiles per lane group, so
+    every add/mask op on the ragged layout costs 3 tiles instead of 2 —
+    keeping the hot loop at (16,T) cuts ~1/3 of the vector work.
+
+    Per iteration, column 16 only ever receives the two hi-halves
+    prod_hi[15] + mp_hi[15] (< 2^17) and is immediately consumed by the
+    end-of-iteration down-shift (it becomes row 15), so it is tracked as a
+    local (1,T) row rather than a 17th sublane row.
+    """
+    t = jnp.zeros((N_LIMBS, a.shape[1]), jnp.uint32)
     zrow = jnp.zeros_like(a[0:1])
     for i in range(N_LIMBS):
         bi = b[i : i + 1]
         prod = a * bi
-        t = t + jnp.concatenate([prod & MASK, zrow], 0)
-        t = t + jnp.concatenate([zrow, prod >> LIMB_BITS], 0)
-        m = ((t[0:1] & MASK) * n0inv) & MASK
+        plo = prod & MASK
+        phi = prod >> LIMB_BITS
+        # column 0 never receives carries, so t[0]'s low 16 bits are exact
+        m = (((t[0:1] + plo[0:1]) & MASK) * n0inv) & MASK
         mp = p_arr * m
-        t = t + jnp.concatenate([mp & MASK, zrow], 0)
-        t = t + jnp.concatenate([zrow, mp >> LIMB_BITS], 0)
+        mlo = mp & MASK
+        mhi = mp >> LIMB_BITS
+        t = t + plo + mlo
+        hi_sum = phi + mhi  # < 2^17 per row
+        t = t + jnp.concatenate([zrow, hi_sum[: N_LIMBS - 1]], axis=0)
         carry0 = t[0:1] >> LIMB_BITS
-        t = jnp.concatenate([t[1:2] + carry0, t[2:], zrow], axis=0)
-    # lazy columns < 2^22: two relax passes bring them under 2^17, then KS
+        t = jnp.concatenate([t[1:2] + carry0, t[2:], hi_sum[N_LIMBS - 1 :]], axis=0)
+    # lazy columns < 2^22: two relax passes bring them under 2^17, then KS;
+    # the relax overflow out of row 15 accumulates in a (1,T) top column.
+    top = zrow
     for _ in range(2):
         lo = t & MASK
         hi = t >> LIMB_BITS
-        t = lo + jnp.concatenate([jnp.zeros_like(t[0:1]), hi[:-1]], axis=0)
-    limbs, carry_out = _resolve_carries(t[:N_LIMBS])
-    top = t[N_LIMBS : N_LIMBS + 1] + carry_out
+        t = lo + jnp.concatenate([zrow, hi[: N_LIMBS - 1]], axis=0)
+        top = top + hi[N_LIMBS - 1 :]
+    limbs, carry_out = _resolve_carries(t)
+    top = top + carry_out
     return _fw_cond_sub_p(limbs, top, p_arr)
 
 
@@ -235,8 +262,10 @@ def _p_col(p: int):
     return jnp.asarray(np.asarray(int_to_limbs(p), np.uint32).reshape(N_LIMBS, 1))
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def mul_pallas(a: jnp.ndarray, b: jnp.ndarray, p: int, n0inv: int, tile: int) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def mul_pallas(
+    a: jnp.ndarray, b: jnp.ndarray, p: int, n0inv: int, tile: int, interpret: bool = False
+) -> jnp.ndarray:
     """(N,16) x (N,16) Montgomery mul; N % tile == 0."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -251,6 +280,7 @@ def mul_pallas(a: jnp.ndarray, b: jnp.ndarray, p: int, n0inv: int, tile: int) ->
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, N_LIMBS), jnp.uint32),
         grid=(n // tile,),
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec((N_LIMBS, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, N_LIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -260,8 +290,10 @@ def mul_pallas(a: jnp.ndarray, b: jnp.ndarray, p: int, n0inv: int, tile: int) ->
     )(_p_col(p), a, b)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def padd_pallas(pts: jnp.ndarray, qts: jnp.ndarray, p: int, n0inv: int, tile: int):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def padd_pallas(
+    pts: jnp.ndarray, qts: jnp.ndarray, p: int, n0inv: int, tile: int, interpret: bool = False
+):
     """Complete point addition: (N,3,16) x (N,3,16) -> (N,3,16)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -280,6 +312,7 @@ def padd_pallas(pts: jnp.ndarray, qts: jnp.ndarray, p: int, n0inv: int, tile: in
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, 3, N_LIMBS), jnp.uint32),
         grid=(n // tile,),
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec((N_LIMBS, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 3, N_LIMBS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -289,9 +322,15 @@ def padd_pallas(pts: jnp.ndarray, qts: jnp.ndarray, p: int, n0inv: int, tile: in
     )(_p_col(p), pts, qts)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def pmadd_pallas(
-    pts: jnp.ndarray, qxy: jnp.ndarray, flags: jnp.ndarray, p: int, n0inv: int, tile: int
+    pts: jnp.ndarray,
+    qxy: jnp.ndarray,
+    flags: jnp.ndarray,
+    p: int,
+    n0inv: int,
+    tile: int,
+    interpret: bool = False,
 ):
     """Masked complete mixed addition: (N,3,16) + (N,2,16) -> (N,3,16).
 
@@ -317,6 +356,7 @@ def pmadd_pallas(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, 3, N_LIMBS), jnp.uint32),
         grid=(n // tile,),
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec((N_LIMBS, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 3, N_LIMBS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -325,6 +365,74 @@ def pmadd_pallas(
         ],
         out_specs=pl.BlockSpec((tile, 3, N_LIMBS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     )(_p_col(p), pts, qxy, flags)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def pmadd_packed_pallas(
+    pts: jnp.ndarray,
+    qpk: jnp.ndarray,
+    flags: jnp.ndarray,
+    p: int,
+    n0inv: int,
+    tile: int,
+    interpret: bool = False,
+):
+    """Masked mixed addition with PACKED affine addends: (N,3,16) + (N,16).
+
+    ``qpk`` packs Q's 16-bit limbs two-per-u32, split-half order: word j =
+    x_limb[j] | x_limb[j+8] << 16 for j<8, then the same for y.  The MSM
+    bucket loop is gather-bound (the per-step XLA row gather of addends costs
+    ~37 ns/row at 128 B rows vs ~16 ns at 4 B — mostly latency plus ~0.17
+    ns/byte), so halving the gathered row to 64 B cuts the dominant phase;
+    unpacking in-kernel is one shift+mask+concat per coordinate.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = pts.shape[0]
+    half = N_LIMBS // 2
+
+    def kernel(p_ref, a_ref, q_ref, f_ref, out_ref):
+        pa = a_ref[:]
+        qp = q_ref[:].T  # (16, tile): rows 0..7 pack x, rows 8..15 pack y
+        P = tuple(pa[:, c, :].T for c in range(3))
+        xw, yw = qp[:half], qp[half:]
+        x2 = jnp.concatenate([xw & MASK, xw >> LIMB_BITS], axis=0)
+        y2 = jnp.concatenate([yw & MASK, yw >> LIMB_BITS], axis=0)
+        flags_row = f_ref[:].T  # (1, tile)
+        X3, Y3, Z3 = _fw_point_madd(P, (x2, y2), flags_row, p_ref[:], n0inv)
+        out_ref[:] = jnp.stack([X3.T, Y3.T, Z3.T], axis=1)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, 3, N_LIMBS), jnp.uint32),
+        grid=(n // tile,),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((N_LIMBS, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 3, N_LIMBS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, N_LIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 3, N_LIMBS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    )(_p_col(p), pts, qpk, flags)
+
+
+def pmadd_packed_pallas_auto(field, pts, qpk, flags, tile: int = DEFAULT_TILE):
+    """Flatten/pad wrapper around pmadd_packed_pallas; flags (…,) uint32."""
+    batch = pts.shape[:-2]
+    n = int(np.prod(batch)) if batch else 1
+    pf = pts.reshape(n, 3, N_LIMBS)
+    qf = qpk.reshape(n, N_LIMBS)
+    ff = flags.reshape(n, 1).astype(jnp.uint32)
+    t = _pick_tile(n, tile)
+    pf, real_n = _pad_to(pf, t)
+    qf, _ = _pad_to(qf, t)
+    ff_pad = (-n) % t
+    if ff_pad:
+        ff = jnp.concatenate([ff, jnp.full((ff_pad, 1), 2, jnp.uint32)], axis=0)
+    out = pmadd_packed_pallas(pf, qf, ff, field.p, field.n0inv, t, _INTERPRET)[:real_n]
+    return out.reshape(*batch, 3, N_LIMBS)
 
 
 def pmadd_pallas_auto(field, pts, qxy, flags, tile: int = DEFAULT_TILE):
@@ -341,12 +449,12 @@ def pmadd_pallas_auto(field, pts, qxy, flags, tile: int = DEFAULT_TILE):
     if ff_pad:
         # padded slots: skip (keep P = zero rows)
         ff = jnp.concatenate([ff, jnp.full((ff_pad, 1), 2, jnp.uint32)], axis=0)
-    out = pmadd_pallas(pf, qf, ff, field.p, field.n0inv, t)[:real_n]
+    out = pmadd_pallas(pf, qf, ff, field.p, field.n0inv, t, _INTERPRET)[:real_n]
     return out.reshape(*batch, 3, N_LIMBS)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def pdbl_pallas(pts: jnp.ndarray, p: int, n0inv: int, tile: int):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def pdbl_pallas(pts: jnp.ndarray, p: int, n0inv: int, tile: int, interpret: bool = False):
     """Complete point doubling: (N,3,16) -> (N,3,16)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -363,6 +471,7 @@ def pdbl_pallas(pts: jnp.ndarray, p: int, n0inv: int, tile: int):
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, 3, N_LIMBS), jnp.uint32),
         grid=(n // tile,),
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec((N_LIMBS, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 3, N_LIMBS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -396,7 +505,7 @@ def mul_pallas_auto(field, a, b, tile: int = DEFAULT_TILE):
     t = _pick_tile(n, tile)
     af, real_n = _pad_to(af, t)
     bf, _ = _pad_to(bf, t)
-    out = mul_pallas(af, bf, field.p, field.n0inv, t)[:real_n]
+    out = mul_pallas(af, bf, field.p, field.n0inv, t, _INTERPRET)[:real_n]
     return out.reshape(*batch, N_LIMBS)
 
 
@@ -410,7 +519,7 @@ def padd_pallas_auto(field, pts, qts, tile: int = DEFAULT_TILE):
     t = _pick_tile(n, tile)
     pf, real_n = _pad_to(pf, t)
     qf, _ = _pad_to(qf, t)
-    out = padd_pallas(pf, qf, field.p, field.n0inv, t)[:real_n]
+    out = padd_pallas(pf, qf, field.p, field.n0inv, t, _INTERPRET)[:real_n]
     return out.reshape(*batch, 3, N_LIMBS)
 
 
@@ -420,5 +529,5 @@ def pdbl_pallas_auto(field, pts, tile: int = DEFAULT_TILE):
     pf = pts.reshape(n, 3, N_LIMBS)
     t = _pick_tile(n, tile)
     pf, real_n = _pad_to(pf, t)
-    out = pdbl_pallas(pf, field.p, field.n0inv, t)[:real_n]
+    out = pdbl_pallas(pf, field.p, field.n0inv, t, _INTERPRET)[:real_n]
     return out.reshape(*batch, 3, N_LIMBS)

@@ -147,7 +147,10 @@ def _bucket_accumulate_all(
     b = (1 << (c - 1)) + 1
     width = n_win * b
     total = n_win * n
-    pts_xy = points[:, :2]
+    # packed 64 B addend rows: the per-step row gather is the dominant cost
+    # (~37 ns/row at 128 B vs ~26 ns at 64 B on v5e), so gather packed
+    # and unpack inside the madd kernel
+    pts_pk = g1.pack_affine(points[:, :2])
     pt_inf = g1.f.is_zero(points[:, 2])
     win_off = jnp.arange(n_win, dtype=jnp.int32)[:, None] * b
     gids = ids + win_off  # (W, n)
@@ -178,7 +181,7 @@ def _bucket_accumulate_all(
             r = sorted_rec[pos]
             j = (r & 0x7FFFFFFF).astype(jnp.int32)
             valid = k < count_t
-            return g1.madd(buckets_t, pts_xy[j], (r >> 31) > 0, valid)
+            return g1.madd_packed(buckets_t, pts_pk[j], (r >> 31) > 0, valid)
 
         return step
 
