@@ -224,6 +224,26 @@ class JnpG1:
             return pmadd_packed_pallas_auto(self.f, p, qpk, flags)
         return self.madd(p, self.unpack_affine(qpk), q_neg, valid)
 
+    def madd_slab(self, p, slabs, vmask) -> jnp.ndarray:
+        """R chained masked mixed-adds: p + sum of valid rows of ``slabs``.
+
+        slabs (…, R, 16) packed affine rows with digit signs ALREADY applied
+        (negated y where the digit was negative); vmask (…,) uint32 with bit
+        r set iff row r is a real addend.  On the pallas backend all R adds
+        run inside one fused kernel (fields/pallas_ops.pmadd_slab_pallas).
+        """
+        r = slabs.shape[-2]
+        if self._pallas_batch(p) >= 128:
+            from ..fields.pallas_ops import pmadd_slab_pallas_auto
+
+            return pmadd_slab_pallas_auto(self.f, p, slabs, vmask)
+        acc = p
+        no_neg = jnp.zeros(vmask.shape, bool)
+        for ri in range(r):
+            valid = ((vmask >> ri) & 1) > 0
+            acc = self.madd(acc, self.unpack_affine(slabs[..., ri, :]), no_neg, valid)
+        return acc
+
     def double(self, p: jnp.ndarray) -> jnp.ndarray:
         """Complete doubling (RCB15 Algorithm 9, a=0, b3=9)."""
         f = self.f

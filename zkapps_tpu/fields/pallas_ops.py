@@ -230,6 +230,38 @@ def _fw_point_madd(P, Qxy, flags, p_arr, n0inv):
     return X3, Y3, Z3
 
 
+def _fw_point_madd_skip(P, Qxy, skip, p_arr, n0inv):
+    """Complete mixed addition P + Q with a skip mask only (no negate).
+
+    Same as _fw_point_madd with the sign select removed — the MSM slab path
+    pre-applies digit signs to the materialized addend rows, so the kernel
+    only needs the valid mask.
+    """
+    X1, Y1, Z1 = P
+    x2, y2 = Qxy
+    mul = lambda a, b: _fw_mont_mul(a, b, p_arr, n0inv)  # noqa: E731
+    add = lambda a, b: _fw_add(a, b, p_arr)  # noqa: E731
+    sub = lambda a, b: _fw_sub(a, b, p_arr)  # noqa: E731
+
+    t0 = mul(X1, x2)
+    t1 = mul(Y1, y2)
+    t3 = sub(mul(add(X1, Y1), add(x2, y2)), add(t0, t1))  # X1 y2 + x2 Y1
+    t4 = add(mul(y2, Z1), Y1)  # Y1 Z2 + Y2 Z1 with Z2 = 1
+    ty = add(mul(x2, Z1), X1)  # X1 Z2 + X2 Z1 with Z2 = 1
+    three_t0 = _fw_mul_small(t0, 3, p_arr)
+    b3_t2 = _fw_mul_small(Z1, B3, p_arr)  # t2 = Z1 Z2 = Z1
+    z3t = add(t1, b3_t2)
+    t1m = sub(t1, b3_t2)
+    y3t = _fw_mul_small(ty, B3, p_arr)
+    X3 = sub(mul(t3, t1m), mul(t4, y3t))
+    Y3 = add(mul(y3t, three_t0), mul(t1m, z3t))
+    Z3 = add(mul(z3t, t4), mul(three_t0, t3))
+    X3 = jnp.where(skip, X1, X3)
+    Y3 = jnp.where(skip, Y1, Y3)
+    Z3 = jnp.where(skip, Z1, Z3)
+    return X3, Y3, Z3
+
+
 def _fw_point_double(P, p_arr, n0inv):
     X, Y, Z = P
     mul = lambda a, b: _fw_mont_mul(a, b, p_arr, n0inv)  # noqa: E731
@@ -416,6 +448,77 @@ def pmadd_packed_pallas(
         ],
         out_specs=pl.BlockSpec((tile, 3, N_LIMBS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     )(_p_col(p), pts, qpk, flags)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def pmadd_slab_pallas(
+    pts: jnp.ndarray,
+    slabs: jnp.ndarray,
+    vmask: jnp.ndarray,
+    p: int,
+    n0inv: int,
+    tile: int,
+    interpret: bool = False,
+):
+    """R chained masked mixed-adds per invocation: (N,3,16) + (N,R,16) packed.
+
+    ``slabs[i]`` holds R consecutive pre-sign-applied packed affine rows of
+    bucket i's segment (the MSM slab layout); ``vmask`` (N,1) uint32 has bit
+    r set iff row r is a real addend.  Chaining R adds inside ONE kernel
+    amortizes the accumulator's HBM round-trip and the per-step gather
+    latency (the caller gathers R rows with one contiguous-slice gather).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, r = pts.shape[0], slabs.shape[1]
+    half = N_LIMBS // 2
+
+    def kernel(p_ref, a_ref, s_ref, v_ref, out_ref):
+        pa = a_ref[:]
+        sl = s_ref[:]
+        P = tuple(pa[:, c, :].T for c in range(3))
+        vm = v_ref[:].T  # (1, tile)
+        for ri in range(r):
+            qp = sl[:, ri, :].T  # (16, tile): rows 0..7 pack x, 8..15 pack y
+            xw, yw = qp[:half], qp[half:]
+            x2 = jnp.concatenate([xw & MASK, xw >> LIMB_BITS], axis=0)
+            y2 = jnp.concatenate([yw & MASK, yw >> LIMB_BITS], axis=0)
+            skip = ((vm >> ri) & 1) == 0
+            P = _fw_point_madd_skip(P, (x2, y2), skip, p_ref[:], n0inv)
+        out_ref[:] = jnp.stack([P[0].T, P[1].T, P[2].T], axis=1)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, 3, N_LIMBS), jnp.uint32),
+        grid=(n // tile,),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((N_LIMBS, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 3, N_LIMBS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, r, N_LIMBS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 3, N_LIMBS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    )(_p_col(p), pts, slabs, vmask)
+
+
+def pmadd_slab_pallas_auto(field, pts, slabs, vmask, tile: int = DEFAULT_TILE):
+    """Flatten/pad wrapper around pmadd_slab_pallas; vmask (…,) uint32 bits."""
+    batch = pts.shape[:-2]
+    r = slabs.shape[-2]
+    n = int(np.prod(batch)) if batch else 1
+    pf = pts.reshape(n, 3, N_LIMBS)
+    sf = slabs.reshape(n, r, N_LIMBS)
+    vf = vmask.reshape(n, 1).astype(jnp.uint32)
+    t = _pick_tile(n, tile)
+    pf, real_n = _pad_to(pf, t)
+    sf, _ = _pad_to(sf, t)
+    v_pad = (-n) % t
+    if v_pad:
+        vf = jnp.concatenate([vf, jnp.zeros((v_pad, 1), jnp.uint32)], axis=0)
+    out = pmadd_slab_pallas(pf, sf, vf, field.p, field.n0inv, t, _INTERPRET)[:real_n]
+    return out.reshape(*batch, 3, N_LIMBS)
 
 
 def pmadd_packed_pallas_auto(field, pts, qpk, flags, tile: int = DEFAULT_TILE):

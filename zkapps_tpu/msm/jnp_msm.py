@@ -117,6 +117,152 @@ def _tier_widths(full: int, floor: int = 1 << 14) -> list[int]:
     return widths
 
 
+SLAB_R = 4  # addend rows per bucket per kernel step in the sorted scheme
+_BUCKET_SCHEME = "sorted"  # 'sorted' (step-major layout) | 'gather' (per-step row gathers)
+
+
+def set_bucket_scheme(name: str) -> None:
+    assert name in ("sorted", "gather")
+    global _BUCKET_SCHEME
+    globals()["_BUCKET_SCHEME"] = name
+
+
+def _bucket_accumulate_sorted(
+    g1: JnpG1, points: jnp.ndarray, ids: jnp.ndarray, negs: jnp.ndarray, c: int
+) -> jnp.ndarray:
+    """Step-major sorted accumulation: ZERO random gathers in the step loop.
+
+    The gather scheme pays ~26 ns of XLA row-gather per (window, point) pair
+    — the dominant MSM cost on TPU (the per-row gather is scalar-core issued,
+    ~100x off streaming bandwidth).  This scheme moves the point DATA through
+    two cheap device sorts instead, so every step reads contiguous slices:
+
+    1. Build (gid, packed-row) pairs with digit signs pre-applied to y
+       (broadcast select of a pre-negated copy — no gather).
+    2. sort-1 by gid groups each bucket's rows contiguously; streaming scans
+       (cummax/cummin) derive each row's within-segment index k and segment
+       count.
+    3. sort-2 by (k, count desc, gid) produces the STEP-MAJOR layout: all
+       step-k rows contiguous, ordered exactly like the occupancy-ranked
+       accumulator array — so step k's addend for accumulator lane l is row
+       ``off_k + l``, a dynamic_slice, not a gather.  (A bucket at rank l is
+       present in step k iff count > k; every higher-ranked bucket has count
+       >= count > k, so present buckets always form the prefix [0, m_k) —
+       lane == rank is stable across steps.)
+    4. The tier loop runs SLAB_R consecutive steps per kernel call
+       (fields/pallas_ops.pmadd_slab_pallas) to amortize the accumulator's
+       HBM round-trip; off_k / m_k come from O(log W) searchsorteds on
+       bucket-count prefix tables.
+
+    Identity points land in the per-window dump bucket (count forced 0), and
+    dump rows sort AFTER every live row inside a step (count key 0), so the
+    valid mask ``lane < m_k`` alone excludes them.
+    """
+    n = points.shape[0]
+    n_win = ids.shape[0]
+    b = (1 << (c - 1)) + 1
+    width = n_win * b
+    total = n_win * n
+    r_steps = SLAB_R
+    f = g1.f
+    h = N_LIMBS // 2
+
+    pts_pk = g1.pack_affine(points[:, :2])
+    yw = pts_pk[:, h:]
+    y = jnp.concatenate([yw & 0xFFFF, yw >> LIMB_BITS], axis=-1)
+    ny = f.sub(jnp.zeros_like(y), y)
+    nyw = ny[:, :h] | (ny[:, h:] << LIMB_BITS)
+    pts_pk_neg = jnp.concatenate([pts_pk[:, :h], nyw], axis=-1)
+
+    pt_inf = f.is_zero(points[:, 2])
+    win_off = jnp.arange(n_win, dtype=jnp.int32)[:, None] * b
+    gids = ids + win_off
+    gids = jnp.where(pt_inf[None, :], win_off, gids).reshape(-1)
+    rows0 = jnp.where(
+        negs.reshape(-1)[:, None],
+        jnp.tile(pts_pk_neg, (n_win, 1)),
+        jnp.tile(pts_pk, (n_win, 1)),
+    )
+
+    srt1 = jax.lax.sort((gids,) + tuple(rows0[:, j] for j in range(N_LIMBS)), num_keys=1)
+    sorted_gid = srt1[0]
+
+    idx = jnp.arange(total, dtype=jnp.int32)
+    brk = sorted_gid[1:] != sorted_gid[:-1]
+    new_seg = jnp.concatenate([jnp.ones((1,), bool), brk])
+    end_seg = jnp.concatenate([brk, jnp.ones((1,), bool)])
+    first = jax.lax.cummax(jnp.where(new_seg, idx, 0))
+    last = jax.lax.cummin(jnp.where(end_seg, idx, jnp.int32(2**31 - 1)), reverse=True)
+    k_row = idx - first
+    cnt_row = last - first + 1
+    is_dump_row = (sorted_gid % b) == 0
+    cntp = jnp.where(is_dump_row, 0, cnt_row)
+
+    srt2 = jax.lax.sort(
+        (k_row, jnp.int32(2**31 - 1) - cntp, sorted_gid) + srt1[1:],
+        num_keys=3,
+    )
+    rows2 = jnp.stack(srt2[3:], axis=1)
+    # pad by the widest tier so step slices [off_k, off_k + w_t) never clamp
+    # (off_k <= total, w_t <= width): a clamped dynamic_slice would shift
+    # live rows off their rank-aligned lanes
+    rows2 = jnp.concatenate([rows2, jnp.zeros((width, N_LIMBS), jnp.uint32)], axis=0)
+
+    # bucket-level tables (width-sized)
+    bucket_range = jnp.arange(width, dtype=jnp.int32)
+    start = jnp.searchsorted(sorted_gid, bucket_range)
+    end = jnp.searchsorted(sorted_gid, bucket_range, side="right")
+    cnt_all = (end - start).astype(jnp.int32)
+    is_real = (bucket_range % b) != 0
+    count = jnp.where(is_real, cnt_all, 0)
+    rank = jnp.argsort(-count)  # stable: ties by gid — matches sort-2 order
+    count_r = count[rank]
+    cnt_sorted = jnp.sort(cnt_all)
+    csum0 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt_sorted, dtype=jnp.int32)]
+    )
+    cnt_real_sorted = jnp.sort(count)
+
+    def off_of(k):
+        """#pairs in steps < k  ==  sum_b min(cnt_b, k)."""
+        j = jnp.searchsorted(cnt_sorted, k)
+        return (csum0[j] + k * (width - j)).astype(jnp.int32)
+
+    def m_of(k):
+        """#live buckets in step k  ==  #real buckets with count > k."""
+        return (width - jnp.searchsorted(cnt_real_sorted, k, side="right")).astype(
+            jnp.int32
+        )
+
+    buckets = g1.identity_like((width,))
+    widths = _tier_widths(width)
+    k_lo = jnp.int32(0)
+    for t, w_t in enumerate(widths):
+        if t + 1 < len(widths):
+            k_hi = count_r[widths[t + 1]]
+        else:
+            k_hi = count_r[0]  # max occupancy
+        lane_t = jnp.arange(w_t, dtype=jnp.int32)
+
+        def step(i, buckets_t, w_t=w_t, k_lo=k_lo, lane_t=lane_t):
+            k = k_lo + i * r_steps
+            slabs, vm = [], jnp.zeros((w_t,), jnp.uint32)
+            for r_i in range(r_steps):
+                kk = k + r_i
+                slabs.append(jax.lax.dynamic_slice(rows2, (off_of(kk), 0), (w_t, N_LIMBS)))
+                vm = vm | ((lane_t < m_of(kk)).astype(jnp.uint32) << r_i)
+            return g1.madd_slab(buckets_t, jnp.stack(slabs, axis=1), vm)
+
+        n_slabs = jnp.maximum(0, (k_hi - k_lo + r_steps - 1) // r_steps)
+        tier = jax.lax.fori_loop(0, n_slabs, step, buckets[:w_t])
+        buckets = jax.lax.dynamic_update_slice_in_dim(buckets, tier, 0, axis=0)
+        k_lo = k_lo + n_slabs * r_steps
+
+    inv = jnp.zeros((width,), jnp.int32).at[rank].set(bucket_range)
+    buckets = buckets[inv]
+    return buckets.reshape(n_win, b, 3, N_LIMBS)[:, 1:]
+
+
 def _bucket_accumulate_all(
     g1: JnpG1, points: jnp.ndarray, ids: jnp.ndarray, negs: jnp.ndarray, c: int
 ) -> jnp.ndarray:
@@ -230,6 +376,8 @@ def msm_buckets(points: jnp.ndarray, scalars_std: jnp.ndarray, c: int) -> jnp.nd
     """Pippenger phase 1: per-window bucket sums, (W, B-1, 3, 16)."""
     g1 = G1_JNP
     ids, negs = signed_digits(scalars_std, c)
+    if _BUCKET_SCHEME == "sorted":
+        return _bucket_accumulate_sorted(g1, points, ids, negs, c)
     return _bucket_accumulate_all(g1, points, ids, negs, c)
 
 
@@ -277,6 +425,34 @@ def msm_core(points: jnp.ndarray, scalars_std: jnp.ndarray, c: int) -> jnp.ndarr
     """Traceable MSM body (used directly inside shard_map)."""
     window_sums = window_sums_of(msm_buckets(points, scalars_std, c))
     return _window_combine(G1_JNP, window_sums, c)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def msm_window_sums(points: jnp.ndarray, scalars_std: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Device phases 1+2 only: per-window sums (W, 3, 16)."""
+    return window_sums_of(msm_buckets(points, scalars_std, c))
+
+
+def msm_to_host(points: jnp.ndarray, scalars_std: jnp.ndarray, c: int | None = None):
+    """MSM with the final Horner window-combine on the host -> host G1.
+
+    The combine is ~c*W serial doublings on ONE point — pure kernel-launch
+    latency on device (~70 ms measured at c=16) vs ~1 ms of host bigint
+    arithmetic.  Use whenever the result is leaving the device anyway
+    (commitments entering a transcript); keep the device combine inside
+    jit-composed / shard_map code.
+    """
+    from ..curve.host import G1
+
+    if c is None:
+        c = default_window_bits(points.shape[0])
+    sums = G1_JNP.decode(msm_window_sums(points, scalars_std, c))
+    acc = G1.identity()
+    for w_sum in reversed(sums):
+        for _ in range(c):
+            acc = acc.double()
+        acc = acc.add(w_sum)
+    return acc
 
 
 @functools.partial(jax.jit, static_argnums=(2,))

@@ -43,7 +43,7 @@ from ..curve.host import B_G1, G1, P as FQ_P
 from ..curve.jnp_point import G1_JNP
 from ..fields.host import Fr
 from ..fields.jnp_ops import FR
-from ..msm.jnp_msm import msm
+from ..msm.jnp_msm import msm_to_host
 from ..transcript.blake2b import Blake2bRead, Blake2bWrite
 
 
@@ -120,7 +120,7 @@ class IPA:
     def commit(self, coeffs_mont: jnp.ndarray, blind: int = 0) -> G1:
         """Pedersen commit: MSM(coeffs, G) + blind*W."""
         coeffs = _pad_coeffs(self.params, coeffs_mont)
-        c = G1_JNP.decode(msm(self.params.g, FR.from_mont(coeffs))[None])[0]
+        c = msm_to_host(self.params.g, FR.from_mont(coeffs))
         if blind:
             c = c.add(self.params.w.mul(blind))
         return c
@@ -198,7 +198,7 @@ class IPA:
 
     def _msm_host_scalars(self, scalars: list[int]) -> G1:
         arr = FR.encode(scalars, mont=False)
-        return G1_JNP.decode(msm(self.params.g, arr)[None])[0]
+        return msm_to_host(self.params.g, arr)
 
     # -- verify --------------------------------------------------------------
     def verify(self, transcript: Blake2bRead, commitment: G1, z: int, v: int) -> bool:

@@ -37,7 +37,7 @@ from ..curve.host import G1
 from ..curve.jnp_point import G1_JNP
 from ..fields.host import Fr
 from ..fields.jnp_ops import FR
-from ..msm.jnp_msm import msm
+from ..msm.jnp_msm import msm_to_host
 from ..ntt.jnp_ntt import get_plan, powers_device
 from ..pairing.bn254_pairing import pairing_check
 from ..transcript.blake2b import Blake2bRead, Blake2bWrite
@@ -139,8 +139,7 @@ class KZG:
     def commit(self, coeffs_mont: jnp.ndarray) -> G1:
         """coeffs (n,16) Montgomery -> commitment point (host affine)."""
         scalars_std = FR.from_mont(coeffs_mont)
-        out = msm(self.srs.g1_powers[: coeffs_mont.shape[0]], scalars_std)
-        return G1_JNP.decode(out[None])[0]
+        return msm_to_host(self.srs.g1_powers[: coeffs_mont.shape[0]], scalars_std)
 
     def eval_poly(self, coeffs_mont: jnp.ndarray, z: int) -> int:
         """f(z) via power-table dot + tree reduction (any length <= srs.n)."""
