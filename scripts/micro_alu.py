@@ -88,16 +88,6 @@ def body_mulhi(a, b):
     return acc
 
 
-def body_f32(a, b):
-    # f32 multiply-add chain on values < 2^16 (exact in f32 up to 2^24)
-    af = a.astype(jnp.float32)
-    bf = b.astype(jnp.float32)
-    acc = af
-    for _ in range(K):
-        acc = acc * bf - jnp.floor(acc * bf / 65536.0) * 65536.0
-    return acc.astype(jnp.uint32)
-
-
 def bench(name, body, iters=10):
     run = make_kernel(body)
     rng = np.random.default_rng(0)
@@ -120,3 +110,6 @@ if __name__ == "__main__":
     bench("mul", body_mul)
     bench("mul16", body_mul16)
     bench("mulhi", body_mulhi)
+    # no f32 variant: Mosaic cannot lower uint32 -> float32 casts in-kernel
+    # (NotImplementedError in pallas/mosaic/lowering), so an f32 mul chain
+    # isn't expressible here without integer bit tricks that defeat the point.

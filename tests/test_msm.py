@@ -82,3 +82,62 @@ def test_msm_window_sizes_agree():
     want = g1_msm(points, scalars)
     for c in (8, 12):
         assert run_msm(points, scalars, c=c) == want
+
+
+def test_msm_xyzz_scheme_matches_complete():
+    """Incomplete-xyzz bucket kernel == complete kernel on distinct points.
+
+    Distinct random multiples (the real MSM input shape: SRS powers /
+    committed polys) -> no equal-point adds -> poison must be 0 and the
+    window sums must agree exactly with the complete RCB15 path.
+    """
+    from zkapps_tpu.msm.jnp_msm import msm_window_sums_checked
+
+    n, c = 48, 8
+    points = [G.mul(random.randrange(1, Fr.p)) for _ in range(n)]
+    points[5] = G1.identity()
+    scalars = [random.randrange(Fr.p) for _ in range(n)]
+    scalars[0] = 0
+    scalars[1] = Fr.p - 1
+    pa = G1_JNP.encode(points)
+    sa = FR.encode(scalars, mont=False)
+    ws_c, p_c = msm_window_sums_checked(pa, sa, c, "complete")
+    ws_x, p_x = msm_window_sums_checked(pa, sa, c, "xyzz")
+    assert int(p_c) == 0 and int(p_x) == 0
+    for a, b in zip(G1_JNP.decode(ws_c), G1_JNP.decode(ws_x)):
+        assert a == b
+
+
+def test_msm_xyzz_poison_detected_and_fallback_exact():
+    """Equal-point bucket adds must set the poison flag, and msm_to_host must
+    re-run with the complete kernel and still return the exact result."""
+    from zkapps_tpu.msm.jnp_msm import msm_to_host, msm_window_sums_checked
+
+    n, c = 16, 8
+    # duplicate (point, scalar) pairs guarantee same-bucket equal-point adds
+    points = [G.mul(i + 2) for i in range(n // 2)] * 2
+    scalars = [random.randrange(Fr.p) for _ in range(n // 2)] * 2
+    pa = G1_JNP.encode(points)
+    sa = FR.encode(scalars, mont=False)
+    _, poison = msm_window_sums_checked(pa, sa, c, "xyzz")
+    assert int(poison) > 0
+    want = g1_msm(points, scalars)
+    got = msm_to_host(pa, sa, c, scheme="xyzz")
+    assert got == want
+
+
+def test_msm_xyzz_cancellation_exact():
+    """P + (-P) inside one bucket is handled exactly (no poison)."""
+    from zkapps_tpu.msm.jnp_msm import msm_to_host, msm_window_sums_checked
+
+    c = 8
+    p0 = G.mul(1234567)
+    points = [p0, p0.neg(), G.mul(42)]
+    s = random.randrange(1, 1 << (c - 2))  # same positive digit each window
+    scalars = [s, s, random.randrange(Fr.p)]
+    pa = G1_JNP.encode(points)
+    sa = FR.encode(scalars, mont=False)
+    _, poison = msm_window_sums_checked(pa, sa, c, "xyzz")
+    assert int(poison) == 0
+    want = g1_msm(points, scalars)
+    assert msm_to_host(pa, sa, c, scheme="xyzz") == want

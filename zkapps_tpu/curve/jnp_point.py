@@ -244,6 +244,92 @@ class JnpG1:
             acc = self.madd(acc, self.unpack_affine(slabs[..., ri, :]), no_neg, valid)
         return acc
 
+    # -- xyzz coordinates (MSM bucket-accumulation fast path) --------------
+    #
+    # (X, Y, ZZ, ZZZ) with x = X/ZZ, y = Y/ZZZ and ZZ^3 == ZZZ^2; identity is
+    # the all-zero tuple.  Mixed addition (madd-2008-s, Z2 = 1) costs 10 muls
+    # + ~7 modular adds vs the complete RCB15 madd's 11 muls + ~25 adds, but
+    # is INCOMPLETE: P == Q (doubling) is detected and reported as a poison
+    # flag rather than computed; callers re-run with the complete kernel when
+    # any poison fires (negligible probability for distinct input points —
+    # a bucket's partial sum must coincide with its next addend).
+
+    def identity_xyzz_like(self, shape_prefix) -> jnp.ndarray:
+        return jnp.zeros(tuple(shape_prefix) + (4, N_LIMBS), dtype=jnp.uint32)
+
+    def madd_xyzz(self, acc, qxy, valid, pflags):
+        """Masked xyzz mixed add: acc + Q for valid lanes; exact for fresh
+        accumulators and cancellation; equal-point lanes keep acc and set
+        their poison flag.  Returns (acc', pflags')."""
+        f = self.f
+        X1, Y1, ZZ1, ZZZ1 = (acc[..., i, :] for i in range(4))
+        x2, y2 = qxy[..., 0, :], qxy[..., 1, :]
+        inf1 = f.is_zero(ZZ1)
+        U2, S2 = self._mul_layer([(x2, ZZ1), (y2, ZZZ1)])
+        Pd = f.sub(U2, X1)
+        Rr = f.sub(S2, Y1)
+        pz = f.is_zero(Pd)
+        rz = f.is_zero(Rr)
+        PP, R2 = self._mul_layer([(Pd, Pd), (Rr, Rr)])
+        PPP, Q = self._mul_layer([(Pd, PP), (X1, PP)])
+        X3 = f.sub(f.sub(R2, PPP), f.add(Q, Q))
+        t, yp = self._mul_layer([(Rr, f.sub(Q, X3)), (Y1, PPP)])
+        Y3 = f.sub(t, yp)
+        ZZ3, ZZZ3 = self._mul_layer([(ZZ1, PP), (ZZZ1, PPP)])
+
+        fresh = inf1 & valid
+        cancel = (~inf1) & valid & pz & (~rz)
+        poison = (~inf1) & valid & pz & rz
+        normal = (~inf1) & valid & (~pz)
+
+        one = jnp.broadcast_to(f.one_mont, X1.shape)
+        zero = jnp.zeros_like(X1)
+
+        def pick(n_, f_, c_, keep):
+            m = lambda cond, a, b: jnp.where(cond[..., None], a, b)  # noqa: E731
+            return m(normal, n_, m(fresh, f_, m(cancel, c_, keep)))
+
+        out = jnp.stack(
+            [
+                pick(X3, x2, zero, X1),
+                pick(Y3, y2, zero, Y1),
+                pick(ZZ3, one, zero, ZZ1),
+                pick(ZZZ3, one, zero, ZZZ1),
+            ],
+            axis=-2,
+        )
+        return out, pflags | poison.astype(jnp.uint32)
+
+    def madd_slab_xyzz(self, acc, slabs, vmask, pflags):
+        """R chained masked xyzz mixed-adds (slab layout of madd_slab).
+
+        acc (…, 4, 16) xyzz; slabs (…, R, 16) packed affine, signs
+        pre-applied; vmask (…,) uint32 valid bits; pflags (…,) uint32 sticky
+        poison.  Returns (acc', pflags')."""
+        r = slabs.shape[-2]
+        if self._pallas_batch(acc) >= 128:
+            from ..fields.pallas_ops import pxyzz_slab_pallas_auto
+
+            return pxyzz_slab_pallas_auto(self.f, acc, slabs, vmask, pflags)
+        for ri in range(r):
+            valid = ((vmask >> ri) & 1) > 0
+            acc, pflags = self.madd_xyzz(
+                acc, self.unpack_affine(slabs[..., ri, :]), valid, pflags
+            )
+        return acc, pflags
+
+    def xyzz_to_projective(self, acc: jnp.ndarray) -> jnp.ndarray:
+        """(…, 4, 16) xyzz -> (…, 3, 16) homogeneous projective.
+
+        x = X/ZZ, y = Y/ZZZ -> (X*ZZZ : Y*ZZ : ZZ*ZZZ); identity (ZZ == 0)
+        maps to (0 : 1 : 0)."""
+        f = self.f
+        X, Y, ZZ, ZZZ = (acc[..., i, :] for i in range(4))
+        xp, yp, zp = self._mul_layer([(X, ZZZ), (Y, ZZ), (ZZ, ZZZ)])
+        inf = f.is_zero(ZZ)
+        proj = jnp.stack([xp, yp, zp], axis=-2)
+        return self.select(~inf, proj, self.identity_like(inf.shape))
+
     def double(self, p: jnp.ndarray) -> jnp.ndarray:
         """Complete doubling (RCB15 Algorithm 9, a=0, b3=9)."""
         f = self.f
@@ -333,3 +419,55 @@ class JnpG1:
 
 
 G1_JNP = JnpG1(FQ)
+
+
+def distinct_generator_multiples(
+    n: int, seed: int = 0, bits: int = 128
+) -> tuple[jnp.ndarray, np.ndarray]:
+    """n pseudo-random distinct G1 points m_i * G, generated ON DEVICE.
+
+    Returns (points (n,3,16) normalized to Z in {0,1}, multiples m_i as a
+    host object array of python ints).  m_i are random ``bits``-bit values (bits a multiple of 16)
+    (distinct whp; partial-sum collisions inside MSM buckets ~2^-(bits-40)),
+    so the points are valid *distinct* MSM inputs — unlike tiled copies of a
+    small point set, which make equal-point bucket adds common.  Device cost:
+    ``bits`` batched complete adds (one per bit of m, table of 2^j G host
+    points), ~0.6 s at n = 2^20 on one v5e chip — a one-time setup.
+
+    The closed form sum(s_i * m_i) mod r * G makes a full-size MSM oracle
+    cheap (one host scalar mul), used by bench.py's self-check.
+    """
+    from .host import G1
+
+    assert bits % 16 == 0
+    rng = np.random.default_rng(seed)
+    m_rows = rng.integers(0, 1 << 16, size=(n, bits // 16), dtype=np.int64).astype(
+        np.uint32
+    )
+    m_rows[:, -1] |= 1 << 15  # force the top bit: all m_i >= 2^(bits-1) > 0
+    table_host = []
+    g = G1.generator()
+    for _ in range(bits):
+        table_host.append(g)
+        g = g.double()
+    table = G1_JNP.encode(table_host)  # (bits, 3, 16)
+    m_dev = jnp.asarray(m_rows)
+
+    @jax.jit
+    def gen(m):
+        acc0 = G1_JNP.identity_like((n,))
+
+        def body(j, acc):
+            bit = (m[:, j // 16] >> (j % 16)) & 1
+            return G1_JNP.select(
+                bit > 0, G1_JNP.add(acc, jnp.broadcast_to(table[j], acc.shape)), acc
+            )
+
+        return jax.lax.fori_loop(0, bits, body, acc0)
+
+    pts = G1_JNP.normalize(gen(m_dev))
+    mults = np.array(
+        [int.from_bytes(row.tobytes(), "little") for row in m_rows.astype("<u2")],
+        dtype=object,
+    )
+    return pts, mults

@@ -262,6 +262,147 @@ def _fw_point_madd_skip(P, Qxy, skip, p_arr, n0inv):
     return X3, Y3, Z3
 
 
+def _fw_is_zero(x):
+    """Canonical (16,T) limbs -> (1,T) bool: value == 0."""
+    return (x == 0).all(axis=0, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# lazy [0, 2p) domain ops — the xyzz kernel's hot path
+#
+# BN254's p is ~2^254.4, so 4p < 2^256: field values can live in [0, 2p)
+# between operations.  Montgomery mul is CLOSED over this domain with NO
+# final conditional subtraction — for a, b < 2p the reduced accumulator is
+# (ab + mp)/2^256 < p*(4p/2^256 + 1) < 1.76p — which deletes ~22 of ~250
+# vector ops per multiply.  Adds/subs reduce against 2p instead of p (same
+# cost as the strict forms), and zero-tests must accept both residue
+# representations {0, p}.
+# ---------------------------------------------------------------------------
+
+
+def _fw_mont_mul_lazy(a, b, p_arr, n0inv):
+    """Montgomery product over the lazy domain: a, b < 2p -> result < 2p.
+
+    Same lazy-column loop as _fw_mont_mul but the epilogue drops the
+    conditional subtract and the 2^256 top column (the value is < 1.76p
+    < 2^256, so the top is mathematically zero)."""
+    t = jnp.zeros((N_LIMBS, a.shape[1]), jnp.uint32)
+    zrow = jnp.zeros_like(a[0:1])
+    for i in range(N_LIMBS):
+        bi = b[i : i + 1]
+        prod = a * bi
+        plo = prod & MASK
+        phi = prod >> LIMB_BITS
+        m = (((t[0:1] + plo[0:1]) & MASK) * n0inv) & MASK
+        mp = p_arr * m
+        mlo = mp & MASK
+        mhi = mp >> LIMB_BITS
+        t = t + plo + mlo
+        hi_sum = phi + mhi
+        t = t + jnp.concatenate([zrow, hi_sum[: N_LIMBS - 1]], axis=0)
+        carry0 = t[0:1] >> LIMB_BITS
+        t = jnp.concatenate([t[1:2] + carry0, t[2:], hi_sum[N_LIMBS - 1 :]], axis=0)
+    for _ in range(2):
+        lo = t & MASK
+        hi = t >> LIMB_BITS
+        t = lo + jnp.concatenate([zrow, hi[: N_LIMBS - 1]], axis=0)
+    limbs, _ = _resolve_carries(t)
+    return limbs
+
+
+def _fw_cond_sub_2p(limbs, p2_arr):
+    """Subtract 2p iff limbs >= 2p; input < 4p (< 2^256), result < 2p."""
+    d, no_borrow = _fw_sub_mod2(limbs, p2_arr)
+    return jnp.where(no_borrow > 0, d, limbs)
+
+
+def _fw_add_2p(a, b, p2_arr):
+    """a + b over [0, 2p): sum < 4p < 2^256, one reduction vs 2p."""
+    limbs, _ = _resolve_carries(a + b)
+    return _fw_cond_sub_2p(limbs, p2_arr)
+
+
+def _fw_sub_2p(a, b, p2_arr):
+    """a - b over [0, 2p): a - b + 2p in (0, 4p), computed mod 2^256 via
+    complement add (one relax pass tames the 18-bit columns), then one
+    reduction vs 2p."""
+    s = a + (MASK - b) + p2_arr  # columns < 3 * 2^16
+    s = jnp.concatenate([s[0:1] + 1, s[1:]], axis=0)  # +1 of two's complement
+    lo = s & MASK
+    hi = s >> LIMB_BITS  # 0..2
+    # mod 2^256: the carry out of limb 15 is dropped (true value < 4p < 2^256)
+    t = lo + jnp.concatenate([jnp.zeros_like(hi[0:1]), hi[: N_LIMBS - 1]], axis=0)
+    limbs, _ = _resolve_carries(t)
+    return _fw_cond_sub_2p(limbs, p2_arr)
+
+
+def _fw_is_zero_2p(x, p_arr):
+    """Residue-zero test over [0, 2p): limbs == 0 or limbs == p."""
+    return ((x == 0).all(axis=0, keepdims=True)) | (
+        (x == p_arr).all(axis=0, keepdims=True)
+    )
+
+
+def _fw_point_madd_xyzz(P4, Qxy, valid, p_arr, p2_arr, n0inv, one_col):
+    """Mixed addition in xyzz coordinates (X, Y, ZZ, ZZZ): 10 muls, ~7 adds.
+
+    madd-2008-s with Z2 = 1 (x = X/ZZ, y = Y/ZZZ, ZZ^3 == ZZZ^2); ~30% fewer
+    vector ops than the complete RCB15 mixed add (11 muls + ~25 modular
+    add/subs), which is what the MSM slab loop spends its time on.  All
+    arithmetic runs over the lazy [0, 2p) domain (_fw_mont_mul_lazy et al. —
+    no per-mul canonicalization); coordinates stay < 2p across chained calls
+    and are canonicalized by the strict muls of the final xyzz->projective
+    conversion outside the kernel.  NOT complete: the P == Q (doubling) case
+    is *detected* and reported as a poison flag instead of computed — the
+    caller keeps the accumulator unchanged for poisoned lanes and re-runs
+    with the complete kernel if any poison fired (cryptographically
+    negligible for distinct input points).  Exact cases handled branchlessly:
+    fresh accumulator (ZZ1 == 0 -> Q), cancellation P == -Q (-> identity),
+    masked lanes (-> P).
+
+    P4: (X1, Y1, ZZ1, ZZZ1) each (16,T) in [0, 2p); Qxy affine (x2, y2)
+    canonical; valid (1,T) bool; one_col (16,1) Montgomery 1.  Returns
+    ((X,Y,ZZ,ZZZ), poison(1,T)).
+    """
+    X1, Y1, ZZ1, ZZZ1 = P4
+    x2, y2 = Qxy
+    mul = lambda a, b: _fw_mont_mul_lazy(a, b, p_arr, n0inv)  # noqa: E731
+    add = lambda a, b: _fw_add_2p(a, b, p2_arr)  # noqa: E731
+    sub = lambda a, b: _fw_sub_2p(a, b, p2_arr)  # noqa: E731
+
+    # ZZ1 is exactly zero only by assignment (identity lanes), never as the
+    # residue representation p — a plain all-zero test suffices.
+    inf1 = _fw_is_zero(ZZ1)
+    U2 = mul(x2, ZZ1)
+    S2 = mul(y2, ZZZ1)
+    Pd = sub(U2, X1)
+    Rr = sub(S2, Y1)
+    pz = _fw_is_zero_2p(Pd, p_arr)
+    rz = _fw_is_zero_2p(Rr, p_arr)
+    PP = mul(Pd, Pd)
+    PPP = mul(Pd, PP)
+    Q = mul(X1, PP)
+    R2 = mul(Rr, Rr)
+    X3 = sub(sub(R2, PPP), add(Q, Q))
+    Y3 = sub(mul(Rr, sub(Q, X3)), mul(Y1, PPP))
+    ZZ3 = mul(ZZ1, PP)
+    ZZZ3 = mul(ZZZ1, PPP)
+
+    fresh = inf1 & valid
+    cancel = (~inf1) & valid & pz & (~rz)
+    poison = (~inf1) & valid & pz & rz
+    normal = (~inf1) & valid & (~pz)
+
+    zero = jnp.zeros_like(X1)
+    Xo = jnp.where(normal, X3, jnp.where(fresh, x2, jnp.where(cancel, zero, X1)))
+    Yo = jnp.where(normal, Y3, jnp.where(fresh, y2, jnp.where(cancel, zero, Y1)))
+    ZZo = jnp.where(normal, ZZ3, jnp.where(fresh, one_col, jnp.where(cancel, zero, ZZ1)))
+    ZZZo = jnp.where(
+        normal, ZZZ3, jnp.where(fresh, one_col, jnp.where(cancel, zero, ZZZ1))
+    )
+    return (Xo, Yo, ZZo, ZZZo), poison
+
+
 def _fw_point_double(P, p_arr, n0inv):
     X, Y, Z = P
     mul = lambda a, b: _fw_mont_mul(a, b, p_arr, n0inv)  # noqa: E731
@@ -488,11 +629,19 @@ def pmadd_slab_pallas(
             P = _fw_point_madd_skip(P, (x2, y2), skip, p_ref[:], n0inv)
         out_ref[:] = jnp.stack([P[0].T, P[1].T, P[2].T], axis=1)
 
+    # r >= 8 slab rows push the Mosaic scoped-vmem stack past the 16 MB
+    # default at tile 1024; raise the cap (v5e has 128 MB of VMEM).
+    params = (
+        None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, 3, N_LIMBS), jnp.uint32),
         grid=(n // tile,),
         interpret=interpret,
+        compiler_params=params,
         in_specs=[
             pl.BlockSpec((N_LIMBS, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 3, N_LIMBS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -501,6 +650,127 @@ def pmadd_slab_pallas(
         ],
         out_specs=pl.BlockSpec((tile, 3, N_LIMBS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     )(_p_col(p), pts, slabs, vmask)
+
+
+def _p_one_col(p: int):
+    """(16,3) constant columns: limbs of p, Montgomery 1 (2^256 mod p), 2p."""
+    one_mont = (1 << 256) % p
+    cols = np.stack(
+        [
+            np.asarray(int_to_limbs(p), np.uint32),
+            np.asarray(int_to_limbs(one_mont), np.uint32),
+            np.asarray(int_to_limbs(2 * p), np.uint32),
+        ],
+        axis=1,
+    )
+    return jnp.asarray(cols)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def pxyzz_slab_pallas(
+    acc: jnp.ndarray,
+    slabs: jnp.ndarray,
+    vmask: jnp.ndarray,
+    pflags: jnp.ndarray,
+    p: int,
+    n0inv: int,
+    tile: int,
+    interpret: bool = False,
+):
+    """R chained xyzz mixed-adds per invocation: (N,4,16) + (N,R,16) packed.
+
+    Same slab layout as pmadd_slab_pallas (packed affine rows, signs
+    pre-applied, vmask valid bits) but the accumulator is xyzz (X,Y,ZZ,ZZZ;
+    identity = all-zero) and the add is the 10-mul incomplete formula of
+    _fw_point_madd_xyzz.  Returns (acc', pflags') where pflags' is the
+    sticky per-lane poison mask (pflags | any equal-point add detected).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, r = acc.shape[0], slabs.shape[1]
+    half = N_LIMBS // 2
+
+    def kernel(pc_ref, a_ref, s_ref, v_ref, f_ref, out_ref, fo_ref):
+        pa = a_ref[:]
+        sl = s_ref[:]
+        p_col = pc_ref[:, 0:1]
+        one_col = pc_ref[:, 1:2]
+        p2_col = pc_ref[:, 2:3]
+        P4 = tuple(pa[:, c_, :].T for c_ in range(4))
+        vm = v_ref[:].T  # (1, tile)
+        poison_any = f_ref[:].T
+        for ri in range(r):
+            qp = sl[:, ri, :].T
+            xw, yw = qp[:half], qp[half:]
+            x2 = jnp.concatenate([xw & MASK, xw >> LIMB_BITS], axis=0)
+            y2 = jnp.concatenate([yw & MASK, yw >> LIMB_BITS], axis=0)
+            valid = ((vm >> ri) & 1) > 0
+            P4, poison = _fw_point_madd_xyzz(
+                P4, (x2, y2), valid, p_col, p2_col, n0inv, one_col
+            )
+            poison_any = poison_any | poison.astype(jnp.uint32)
+        out_ref[:] = jnp.stack([P4[0].T, P4[1].T, P4[2].T, P4[3].T], axis=1)
+        fo_ref[:] = poison_any.T
+
+    # The 4-coordinate state + r slab rows push Mosaic's scoped-vmem stack
+    # past the 16 MB default at tile >= 1024; raise the cap (v5e has 128 MB
+    # of VMEM) instead of shrinking the tile and paying 2x grid launches.
+    params = (
+        None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 4, N_LIMBS), jnp.uint32),
+            jax.ShapeDtypeStruct((n, 1), jnp.uint32),
+        ),
+        grid=(n // tile,),
+        interpret=interpret,
+        compiler_params=params,
+        in_specs=[
+            pl.BlockSpec((N_LIMBS, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 4, N_LIMBS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, r, N_LIMBS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, 4, N_LIMBS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+    )(_p_one_col(p), acc, slabs, vmask, pflags)
+
+
+# The xyzz slab kernel keeps 4 coordinate rows + R slab rows + ~6 live
+# temporaries per lane; at tile=1024 Mosaic's scoped-vmem stack needs ~24 MB
+# (over the 16 MB default, raised via CompilerParams.vmem_limit_bytes).
+XYZZ_TILE = 1024
+
+
+def pxyzz_slab_pallas_auto(field, acc, slabs, vmask, pflags, tile: int = XYZZ_TILE):
+    """Flatten/pad wrapper around pxyzz_slab_pallas."""
+    batch = acc.shape[:-2]
+    r = slabs.shape[-2]
+    n = int(np.prod(batch)) if batch else 1
+    af = acc.reshape(n, 4, N_LIMBS)
+    sf = slabs.reshape(n, r, N_LIMBS)
+    vf = vmask.reshape(n, 1).astype(jnp.uint32)
+    ff = pflags.reshape(n, 1).astype(jnp.uint32)
+    t = _pick_tile(n, tile)
+    af, real_n = _pad_to(af, t)
+    sf, _ = _pad_to(sf, t)
+    pad = (-n) % t
+    if pad:
+        vf = jnp.concatenate([vf, jnp.zeros((pad, 1), jnp.uint32)], axis=0)
+        ff = jnp.concatenate([ff, jnp.zeros((pad, 1), jnp.uint32)], axis=0)
+    out, fo = pxyzz_slab_pallas(af, sf, vf, ff, field.p, field.n0inv, t, _INTERPRET)
+    return (
+        out[:real_n].reshape(*batch, 4, N_LIMBS),
+        fo[:real_n].reshape(*batch),
+    )
 
 
 def pmadd_slab_pallas_auto(field, pts, slabs, vmask, tile: int = DEFAULT_TILE):

@@ -117,8 +117,15 @@ def _tier_widths(full: int, floor: int = 1 << 14) -> list[int]:
     return widths
 
 
-SLAB_R = 4  # addend rows per bucket per kernel step in the sorted scheme
+SLAB_R = 8  # addend rows per bucket per kernel step in the sorted scheme
 _BUCKET_SCHEME = "sorted"  # 'sorted' (step-major layout) | 'gather' (per-step row gathers)
+
+# The sorted scheme materializes ~2 step-major copies of 64 B packed rows per
+# (window, point) pair plus the 17-operand sort transients — roughly
+# 3 * 64 B * W * n of HBM.  Above this pair count (2^26 pairs ~ 12 GiB
+# transients, the practical ceiling on a 16 GiB v5e chip) fall back to the
+# gather scheme, whose sorted state is one 8 B (gid, rec) record per pair.
+SORTED_MAX_PAIRS = 1 << 26
 
 
 def set_bucket_scheme(name: str) -> None:
@@ -128,8 +135,13 @@ def set_bucket_scheme(name: str) -> None:
 
 
 def _bucket_accumulate_sorted(
-    g1: JnpG1, points: jnp.ndarray, ids: jnp.ndarray, negs: jnp.ndarray, c: int
-) -> jnp.ndarray:
+    g1: JnpG1,
+    points: jnp.ndarray,
+    ids: jnp.ndarray,
+    negs: jnp.ndarray,
+    c: int,
+    xyzz: bool = False,
+):
     """Step-major sorted accumulation: ZERO random gathers in the step loop.
 
     The gather scheme pays ~26 ns of XLA row-gather per (window, point) pair
@@ -157,6 +169,13 @@ def _bucket_accumulate_sorted(
     Identity points land in the per-window dump bucket (count forced 0), and
     dump rows sort AFTER every live row inside a step (count key 0), so the
     valid mask ``lane < m_k`` alone excludes them.
+
+    With ``xyzz=True`` the accumulators are xyzz coordinates and each step
+    runs the 10-mul incomplete mixed add (curve/jnp_point.madd_slab_xyzz)
+    instead of the complete RCB15 kernel; returns (buckets, poison_count)
+    where poison_count > 0 means some lane hit the undetectable-by-formula
+    P == Q case and the result is NOT trustworthy — callers must re-run with
+    xyzz=False.  With xyzz=False returns (buckets, 0).
     """
     n = points.shape[0]
     n_win = ids.shape[0]
@@ -234,7 +253,11 @@ def _bucket_accumulate_sorted(
             jnp.int32
         )
 
-    buckets = g1.identity_like((width,))
+    if xyzz:
+        buckets = g1.identity_xyzz_like((width,))
+        pflags = jnp.zeros((width,), jnp.uint32)
+    else:
+        buckets = g1.identity_like((width,))
     widths = _tier_widths(width)
     k_lo = jnp.int32(0)
     for t, w_t in enumerate(widths):
@@ -244,23 +267,44 @@ def _bucket_accumulate_sorted(
             k_hi = count_r[0]  # max occupancy
         lane_t = jnp.arange(w_t, dtype=jnp.int32)
 
-        def step(i, buckets_t, w_t=w_t, k_lo=k_lo, lane_t=lane_t):
+        def slab_of(i, w_t=w_t, k_lo=k_lo, lane_t=lane_t):
             k = k_lo + i * r_steps
             slabs, vm = [], jnp.zeros((w_t,), jnp.uint32)
             for r_i in range(r_steps):
                 kk = k + r_i
                 slabs.append(jax.lax.dynamic_slice(rows2, (off_of(kk), 0), (w_t, N_LIMBS)))
                 vm = vm | ((lane_t < m_of(kk)).astype(jnp.uint32) << r_i)
-            return g1.madd_slab(buckets_t, jnp.stack(slabs, axis=1), vm)
+            return jnp.stack(slabs, axis=1), vm
 
         n_slabs = jnp.maximum(0, (k_hi - k_lo + r_steps - 1) // r_steps)
-        tier = jax.lax.fori_loop(0, n_slabs, step, buckets[:w_t])
+        if xyzz:
+
+            def step_x(i, carry, slab_of=slab_of):
+                buckets_t, flags_t = carry
+                slabs, vm = slab_of(i)
+                return g1.madd_slab_xyzz(buckets_t, slabs, vm, flags_t)
+
+            tier, tier_flags = jax.lax.fori_loop(
+                0, n_slabs, step_x, (buckets[:w_t], pflags[:w_t])
+            )
+            pflags = jax.lax.dynamic_update_slice_in_dim(pflags, tier_flags, 0, axis=0)
+        else:
+
+            def step(i, buckets_t, slab_of=slab_of):
+                slabs, vm = slab_of(i)
+                return g1.madd_slab(buckets_t, slabs, vm)
+
+            tier = jax.lax.fori_loop(0, n_slabs, step, buckets[:w_t])
         buckets = jax.lax.dynamic_update_slice_in_dim(buckets, tier, 0, axis=0)
         k_lo = k_lo + n_slabs * r_steps
 
     inv = jnp.zeros((width,), jnp.int32).at[rank].set(bucket_range)
+    if xyzz:
+        poison = jnp.sum(pflags)
+        buckets = g1.xyzz_to_projective(buckets)[inv]
+        return buckets.reshape(n_win, b, 3, N_LIMBS)[:, 1:], poison
     buckets = buckets[inv]
-    return buckets.reshape(n_win, b, 3, N_LIMBS)[:, 1:]
+    return buckets.reshape(n_win, b, 3, N_LIMBS)[:, 1:], jnp.uint32(0)
 
 
 def _bucket_accumulate_all(
@@ -372,13 +416,29 @@ def default_window_bits(n: int) -> int:
     return 16
 
 
-def msm_buckets(points: jnp.ndarray, scalars_std: jnp.ndarray, c: int) -> jnp.ndarray:
-    """Pippenger phase 1: per-window bucket sums, (W, B-1, 3, 16)."""
+def msm_buckets_checked(
+    points: jnp.ndarray, scalars_std: jnp.ndarray, c: int, scheme: str = "complete"
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pippenger phase 1: per-window bucket sums, (W, B-1, 3, 16).
+
+    scheme 'complete' uses the exception-free RCB15 kernel (poison always 0);
+    'xyzz' uses the ~27%-cheaper incomplete xyzz kernel and returns a poison
+    count that callers MUST check — nonzero means an equal-point add was hit
+    and the result is invalid (re-run with 'complete').  See
+    _bucket_accumulate_sorted."""
+    assert scheme in ("complete", "xyzz")
     g1 = G1_JNP
     ids, negs = signed_digits(scalars_std, c)
-    if _BUCKET_SCHEME == "sorted":
-        return _bucket_accumulate_sorted(g1, points, ids, negs, c)
-    return _bucket_accumulate_all(g1, points, ids, negs, c)
+    n_pairs = num_windows(c) * points.shape[0]
+    if _BUCKET_SCHEME == "sorted" and n_pairs <= SORTED_MAX_PAIRS:
+        return _bucket_accumulate_sorted(g1, points, ids, negs, c, xyzz=scheme == "xyzz")
+    # the gather scheme only has the complete kernel
+    return _bucket_accumulate_all(g1, points, ids, negs, c), jnp.uint32(0)
+
+
+def msm_buckets(points: jnp.ndarray, scalars_std: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Pippenger phase 1 with the complete kernel (no poison to check)."""
+    return msm_buckets_checked(points, scalars_std, c, "complete")[0]
 
 
 def _tree_sum_points(g1: JnpG1, x: jnp.ndarray) -> jnp.ndarray:
@@ -405,20 +465,33 @@ def window_sums_of(buckets: jnp.ndarray) -> jnp.ndarray:
 
     Total work ~2B point adds at VPU-saturating widths — vs 2 B log2(B) for
     the double Hillis-Steele suffix scan this replaces (~15x less at c=16).
+
+    The Horner runs on VECTORS: up-sweep stores each level's (negated) evens
+    vector; the down-sweep folds T_l = (-ev_l) + 2*pad(T_{l+1}) elementwise
+    (identity-padded to |ev_l|; sums distribute over the pad), seeding
+    T_L = x_final so the 2^L weight rides the same chain; ONE final halving
+    tree over T_0 yields f.  The naive alternative — a full tree-sum of the
+    evens at every level — costs ~L^2/2 extra kernel launches (~105 at
+    c=16), which dominated this phase at small widths (launch latency, not
+    compute).
     """
     g1 = G1_JNP
     x = jnp.moveaxis(buckets, 0, 1)  # (B-1, W, 3, 16); B-1 = 2^(c-1), pow2
-    evens: list[jnp.ndarray] = []
+    neg_evens: list[jnp.ndarray] = []
     while x.shape[0] > 1:
         if x.shape[0] % 2:  # high-end identity pad leaves f unchanged
             x = jnp.concatenate([x, g1.identity_like((1,) + x.shape[1:-2])], axis=0)
         ev, od = x[0::2], x[1::2]
-        evens.append(_tree_sum_points(g1, ev))
+        neg_evens.append(g1.neg(ev))
         x = g1.add(ev, od)
-    acc = x  # (1, W, 3, 16)
-    for e in reversed(evens):
-        acc = g1.add(g1.double(acc), g1.neg(e))
-    return acc[0]
+    t = x  # (1, W, 3, 16) == x_final, weight 2^L via the doubling chain below
+    for nev in reversed(neg_evens):
+        t = g1.double(t)
+        if t.shape[0] < nev.shape[0]:
+            pad = g1.identity_like((nev.shape[0] - t.shape[0],) + t.shape[1:-2])
+            t = jnp.concatenate([t, pad], axis=0)
+        t = g1.add(nev, t)
+    return _tree_sum_points(g1, t)[0]
 
 
 def msm_core(points: jnp.ndarray, scalars_std: jnp.ndarray, c: int) -> jnp.ndarray:
@@ -427,13 +500,29 @@ def msm_core(points: jnp.ndarray, scalars_std: jnp.ndarray, c: int) -> jnp.ndarr
     return _window_combine(G1_JNP, window_sums, c)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def msm_window_sums_checked(
+    points: jnp.ndarray, scalars_std: jnp.ndarray, c: int, scheme: str = "complete"
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Device phases 1+2: per-window sums (W, 3, 16) + poison count.
+
+    With scheme='xyzz' the result is only valid if poison == 0 (see
+    msm_buckets_checked)."""
+    buckets, poison = msm_buckets_checked(points, scalars_std, c, scheme)
+    return window_sums_of(buckets), poison
+
+
 def msm_window_sums(points: jnp.ndarray, scalars_std: jnp.ndarray, c: int) -> jnp.ndarray:
-    """Device phases 1+2 only: per-window sums (W, 3, 16)."""
-    return window_sums_of(msm_buckets(points, scalars_std, c))
+    """Device phases 1+2 only: per-window sums (W, 3, 16), complete kernel."""
+    return msm_window_sums_checked(points, scalars_std, c, "complete")[0]
 
 
-def msm_to_host(points: jnp.ndarray, scalars_std: jnp.ndarray, c: int | None = None):
+def msm_to_host(
+    points: jnp.ndarray,
+    scalars_std: jnp.ndarray,
+    c: int | None = None,
+    scheme: str = "xyzz",
+):
     """MSM with the final Horner window-combine on the host -> host G1.
 
     The combine is ~c*W serial doublings on ONE point — pure kernel-launch
@@ -441,12 +530,20 @@ def msm_to_host(points: jnp.ndarray, scalars_std: jnp.ndarray, c: int | None = N
     arithmetic.  Use whenever the result is leaving the device anyway
     (commitments entering a transcript); keep the device combine inside
     jit-composed / shard_map code.
+
+    Defaults to the fast incomplete-xyzz bucket kernel: the poison count is
+    checked on the host (the result crosses to the host anyway) and on the
+    cryptographically-unlikely equal-point hit the whole MSM re-runs with the
+    complete kernel, so this is exact for ALL inputs.
     """
     from ..curve.host import G1
 
     if c is None:
         c = default_window_bits(points.shape[0])
-    sums = G1_JNP.decode(msm_window_sums(points, scalars_std, c))
+    sums_dev, poison = msm_window_sums_checked(points, scalars_std, c, scheme)
+    if scheme == "xyzz" and int(poison) != 0:
+        sums_dev, _ = msm_window_sums_checked(points, scalars_std, c, "complete")
+    sums = G1_JNP.decode(sums_dev)
     acc = G1.identity()
     for w_sum in reversed(sums):
         for _ in range(c):
