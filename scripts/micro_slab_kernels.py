@@ -3,6 +3,12 @@
 Isolates the MSM bucket-accumulation kernels (fields/pallas_ops) at
 production width (2^19 lanes, SLAB_R rows) so a kernel change can be
 costed in one number without recompiling the whole MSM.
+
+CAVEAT (sandbox): through the axon TPU tunnel, standalone kernel timings
+come back orders of magnitude too fast even with distinct inputs per call —
+the dispatches appear elided.  Full-pipeline timings (bench.py,
+profile_msm_sorted.py with varied inputs) are reliable; treat this script's
+absolute numbers as valid only on directly-attached TPUs.
 """
 
 import os

@@ -149,10 +149,13 @@ def phase_combine(wsums):
 def bench(name, fn, *args, iters=3):
     out = fn(*args)
     jax.block_until_ready(out)
+    # vary the first operand per iteration: the axon tunnel reports
+    # near-zero time for repeated dispatches with identical inputs
+    # (execution appears elided/replayed), which poisons same-args loops
+    variants = [(args[0].at[(0,) * args[0].ndim].set(i),) + args[1:] for i in range(iters)]
     t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    outs = [fn(*v) for v in variants]
+    jax.block_until_ready(outs)
     dt = (time.time() - t0) / iters
     print(f"{name:12s} {dt*1e3:9.1f} ms", file=sys.stderr)
     return out, dt
