@@ -87,3 +87,18 @@ def test_device_to_affine():
             assert (x, y) == (0, 0)
         else:
             assert (x, y) == (w.x, w.y)
+
+
+def test_distinct_generator_multiples():
+    """Device-generated m_i*G (bench input path) matches host scalar muls."""
+    from zkapps_tpu.curve.jnp_point import distinct_generator_multiples
+
+    pts, mults = distinct_generator_multiples(16, seed=3, bits=32)
+    assert len(set(int(m) for m in mults)) == 16  # distinct whp at 32 bits
+    dec = G1_JNP.decode(pts)
+    g = G1.generator()
+    for pt, m in zip(dec, mults):
+        assert pt.to_bytes() == g.mul(int(m)).to_bytes()
+    # normalized encoding: Z in {0, 1} (mixed-add kernel requirement)
+    zs = G1_JNP.f.decode(pts[:, 2])
+    assert set(zs) <= {0, 1}
