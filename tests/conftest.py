@@ -33,3 +33,22 @@ set_unroll(False)
 # axon sitecustomize makes XLA:CPU AOT artifacts carry a foreign machine
 # profile; reloading them SIGSEGVs (observed).  The looped field-op mode keeps
 # in-process compiles cheap instead.
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_jax_caches():
+    """Clear jax's in-process compile caches at each module boundary.
+
+    Full-suite runs segfault inside XLA:CPU's backend_compile_and_load
+    (jax compiler.py) partway through tests/test_plonk.py, while the same
+    file passes when run alone — the trigger is compiler state accumulated
+    across the preceding ~1000 in-process compiles, not any single test.
+    Starting each module from a clean cache reproduces the passing solo
+    conditions; the cost is recompiling a handful of shared ops per module
+    (the looped field-op graphs compile in ms on XLA:CPU).
+    """
+    jax.clear_caches()
+    yield
