@@ -100,6 +100,37 @@ class NTTPlan:
     def coset_inverse(self, evals: jnp.ndarray) -> jnp.ndarray:
         return self.f.mul(self.inverse(evals), self.coset_pows_inv)
 
+    # -- batched jitted entry points --------------------------------------
+    #
+    # The eager methods above issue ~4 device dispatches per butterfly stage;
+    # a 2^14 transform is ~60 dispatches, and the PLONK prover runs ~20+
+    # transforms per proof — through a high-RTT device link (this sandbox's
+    # tunnelled TPU pays ~10 ms per dispatch) that dominates proving time.
+    # These wrappers run a whole (K, n, 16) stack of transforms as ONE
+    # compiled program.  Plans are lru_cached singletons, so each jit
+    # compiles once per (plan, K).
+
+    def _batched(self, attr: str, single):
+        import jax
+
+        cache = self.__dict__.setdefault("_batch_jits", {})
+        if attr not in cache:
+            cache[attr] = jax.jit(jax.vmap(single))
+        return cache[attr]
+
+    def forward_many(self, stack: jnp.ndarray) -> jnp.ndarray:
+        """(K, n, 16) coefficient stack -> (K, n, 16) evaluations."""
+        return self._batched("fwd", self.forward)(stack)
+
+    def inverse_many(self, stack: jnp.ndarray) -> jnp.ndarray:
+        return self._batched("inv", self.inverse)(stack)
+
+    def coset_forward_many(self, stack: jnp.ndarray) -> jnp.ndarray:
+        return self._batched("cfwd", self.coset_forward)(stack)
+
+    def coset_inverse_many(self, stack: jnp.ndarray) -> jnp.ndarray:
+        return self._batched("cinv", self.coset_inverse)(stack)
+
 
 @functools.lru_cache(maxsize=32)
 def get_plan(log_n: int, coset_gen: int | None = None) -> NTTPlan:

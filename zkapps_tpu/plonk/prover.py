@@ -183,18 +183,23 @@ def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False, rng=None) -> by
         col_vals[f"m_{t}"] = FR.encode(m_ints)
     pi_ints = publics + [0] * (n - len(publics))
     pi_vals = FR.encode(pi_ints)
-    pi_coeffs = plan.inverse(pi_vals)  # public: never blinded
 
     transcript = Blake2bWrite()
     for v in publics:
         transcript.common_scalar(v)
 
-    # blind counts = number of openings + 1
+    # blind counts = number of openings + 1.  All first-round INTTs run as
+    # ONE batched transform (inverse_many): the eager per-column path costs
+    # ~60 dispatches each, which dominates proving on high-RTT device links.
     col_coeffs: dict[str, jnp.ndarray] = {}
     open_counts = {name: len(pts) for name, pts in opening_plan(vk)}
-    for name in vk.advice_names:
+    inv_stack = plan.inverse_many(
+        jnp.stack([col_vals[name] for name in vk.advice_names] + [pi_vals])
+    )
+    pi_coeffs = inv_stack[-1]  # public: never blinded
+    for k, name in enumerate(vk.advice_names):
         blinds = _rand_frs(open_counts[name] + 1, rng)
-        col_coeffs[name] = _blind_zh(plan.inverse(col_vals[name]), blinds)
+        col_coeffs[name] = _blind_zh(inv_stack[k], blinds)
     _mark("encode+intt", t0)
     for name in vk.advice_names:
         transcript.write_point(pk.kzg.commit(col_coeffs[name]))
@@ -247,19 +252,12 @@ def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False, rng=None) -> by
             assert total == 1, f"chunked grand product does not telescope: {total}"
     _mark("grand product", t0)
 
-    z_coeffs_list = []
-    for k, z_vals in enumerate(z_vals_list):
-        blinds = _rand_frs(open_counts[f"z{k}"] + 1, rng)
-        z_coeffs = _blind_zh(plan.inverse(z_vals), blinds)
-        z_coeffs_list.append(z_coeffs)
-        transcript.write_point(pk.kzg.commit(z_coeffs))
-
     # -- lookup running sums (logUp) ---------------------------------------
     # zl_0 = 0, zl_{i+1} = zl_i + 1/(beta+lk_i) - m_i/(beta+t_i); the full
     # wrap forces sum_i [1/(beta+lk_i) - m_i/(beta+t_i)] = 0.
     import jax as _jax
 
-    zl_coeffs: dict[str, jnp.ndarray] = {}
+    zl_vals_list = []
     for t in vk.lookups:
         t_vals = FR.encode(list(lookup_t_ints[t]))
         inv_a = FR.batch_inv(FR.add(col_vals[f"lk_{t}"], beta_m))
@@ -270,8 +268,21 @@ def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False, rng=None) -> by
         if debug_checks:
             total = FR.decode_scalar(csum[-1])
             assert total == 0, f"lookup {t} log-derivative sum != 0: {total}"
+        zl_vals_list.append(zl_vals)
+
+    # one batched INTT for all grand-product and lookup running-sum columns;
+    # commits keep the transcript order z0..zk, zl_t...
+    z_inv_stack = plan.inverse_many(jnp.stack(z_vals_list + zl_vals_list))
+    z_coeffs_list = []
+    for k in range(len(z_vals_list)):
+        blinds = _rand_frs(open_counts[f"z{k}"] + 1, rng)
+        z_coeffs = _blind_zh(z_inv_stack[k], blinds)
+        z_coeffs_list.append(z_coeffs)
+        transcript.write_point(pk.kzg.commit(z_coeffs))
+    zl_coeffs: dict[str, jnp.ndarray] = {}
+    for j, t in enumerate(vk.lookups):
         blinds = _rand_frs(open_counts[f"zl_{t}"] + 1, rng)
-        zl_coeffs[t] = _blind_zh(plan.inverse(zl_vals), blinds)
+        zl_coeffs[t] = _blind_zh(z_inv_stack[len(z_vals_list) + j], blinds)
         transcript.write_point(pk.kzg.commit(zl_coeffs[t]))
     _mark("commit Z", t0)
 
@@ -279,22 +290,40 @@ def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False, rng=None) -> by
     y_m = FR.encode_scalar(y)[None]
 
     # -- quotient on the ext coset -----------------------------------------
-    def coset(coeffs):
-        padded = jnp.concatenate(
+    def pad_ext(coeffs):
+        return jnp.concatenate(
             [coeffs, jnp.zeros((m_ext - coeffs.shape[0], coeffs.shape[1]), dtype=coeffs.dtype)]
         )
-        return ext_plan.coset_forward(padded)
 
     step = m_ext // n  # omega = omega_ext^step
 
     def rot(arr, k: int):
         return jnp.roll(arr, -step * k, axis=0)
 
-    col_x = {name: coset(col_coeffs[name]) for name in vk.advice_names}
-    pi_x = coset(pi_coeffs)
-    z_x = [coset(zc) for zc in z_coeffs_list]
-    fx = {name: coset(c) for name, c in pk.coeffs.items() if not name.startswith("sigma")}
-    sig_x = [coset(pk.coeffs[f"sigma{c}"]) for c in range(vk.num_cols)]
+    # ALL coset extensions in one batched transform (one dispatch instead of
+    # ~60 per polynomial; see ntt.jnp_ntt coset_forward_many)
+    coset_jobs: list[tuple[str, jnp.ndarray]] = []
+    coset_jobs += [(f"col:{name}", col_coeffs[name]) for name in vk.advice_names]
+    coset_jobs.append(("pi", pi_coeffs))
+    coset_jobs += [(f"z:{k}", zc) for k, zc in enumerate(z_coeffs_list)]
+    coset_jobs += [
+        (f"fx:{name}", c) for name, c in pk.coeffs.items() if not name.startswith("sigma")
+    ]
+    coset_jobs += [(f"sig:{c}", pk.coeffs[f"sigma{c}"]) for c in range(vk.num_cols)]
+    coset_jobs += [(f"zl:{t}", zl_coeffs[t]) for t in vk.lookups]
+    coset_stack = ext_plan.coset_forward_many(
+        jnp.stack([pad_ext(arr) for _, arr in coset_jobs])
+    )
+    by_key = {key: coset_stack[i] for i, (key, _) in enumerate(coset_jobs)}
+    col_x = {name: by_key[f"col:{name}"] for name in vk.advice_names}
+    pi_x = by_key["pi"]
+    z_x = [by_key[f"z:{k}"] for k in range(len(z_coeffs_list))]
+    fx = {
+        name: by_key[f"fx:{name}"]
+        for name in pk.coeffs
+        if not name.startswith("sigma")
+    }
+    sig_x = [by_key[f"sig:{c}"] for c in range(vk.num_cols)]
 
     def col_coset_of(c: int) -> jnp.ndarray:
         if c == vk.num_cols - 1:
@@ -339,7 +368,7 @@ def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False, rng=None) -> by
     # lookup constraints (logUp):
     #   (zl(wX) - zl(X)) (beta+lk)(beta+t) + m (beta+lk) - (beta+t) = 0
     #   L_0 * zl = 0
-    zl_x = {t: coset(zl_coeffs[t]) for t in vk.lookups}
+    zl_x = {t: by_key[f"zl:{t}"] for t in vk.lookups}
     for t in vk.lookups:
         lk_x = col_x[f"lk_{t}"]
         m_x = col_x[f"m_{t}"]
@@ -393,7 +422,7 @@ def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False, rng=None) -> by
     for c in constraints[1:]:
         combined = FR.add(FR.mul(combined, y_m), c)
     h_evals = FR.mul(combined, pk.zh_inv_coset)
-    h_coeffs = ext_plan.coset_inverse(h_evals)
+    h_coeffs = ext_plan.coset_inverse_many(h_evals[None])[0]
     _mark("quotient", t0)
     n_h = vk.num_h_chunks
     if debug_checks:
