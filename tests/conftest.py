@@ -49,6 +49,11 @@ def _fresh_jax_caches():
     Starting each module from a clean cache reproduces the passing solo
     conditions; the cost is recompiling a handful of shared ops per module
     (the looped field-op graphs compile in ms on XLA:CPU).
+
+    Workaround, not a root-cause fix: the crash is inside XLA:CPU's
+    backend_compile_and_load under accumulated compiler state (seen on the
+    jax 0.9.x pin of this sandbox image); remove this fixture once a jax/XLA
+    upgrade no longer reproduces the full-suite segfault.
     """
     jax.clear_caches()
     yield

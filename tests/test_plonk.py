@@ -45,6 +45,10 @@ def test_prove_verify_roundtrip(setup):
     ctx = build_cubic(3)
     proof = prove(pk, ctx, debug_checks=True)
     assert verify(pk.vk, pk.kzg, proof, publics_of(ctx))
+    # halo2-matching strictness: the transcript must consume the stream
+    # exactly — appended junk is proof malleability, rejected.
+    assert not verify(pk.vk, pk.kzg, proof + b"junk", publics_of(ctx))
+    assert not verify(pk.vk, pk.kzg, proof + b"\x00", publics_of(ctx))
 
 
 def test_same_layout_different_witness(setup):

@@ -153,6 +153,34 @@ def fq2_inv(a):
     return (a[0] * ninv % P, (-a[1]) * ninv % P)
 
 
+def fq2_sqrt(a):
+    """Square root in Fq2 (u^2 = -1) or None if a is a non-residue.
+
+    Complex method: with a = c0 + c1 u, |a| = c0^2 + c1^2 must be a square
+    in Fq; writing s = sqrt(|a|), the root is y0 + y1 u with
+    y0^2 = (c0 + s)/2 (or (c0 - s)/2) and y1 = c1 / (2 y0).
+    """
+    c0, c1 = a[0] % P, a[1] % P
+    if c1 == 0:
+        y0 = Fq.sqrt(c0)
+        if y0 is not None:
+            return (y0, 0)
+        # c0 is a non-residue: sqrt = y1 * u with y1^2 = -c0
+        y1 = Fq.sqrt((-c0) % P)
+        return None if y1 is None else (0, y1)
+    s = Fq.sqrt((c0 * c0 + c1 * c1) % P)
+    if s is None:
+        return None
+    inv2 = pow(2, P - 2, P)
+    y0 = Fq.sqrt((c0 + s) * inv2 % P)
+    if y0 is None:
+        y0 = Fq.sqrt((c0 - s) * inv2 % P)
+        if y0 is None:
+            return None
+    y1 = c1 * pow(2 * y0 % P, P - 2, P) % P
+    return (y0, y1)
+
+
 FQ2_ZERO = (0, 0)
 FQ2_ONE = (1, 0)
 
@@ -226,3 +254,40 @@ class G2:
             addend = addend.add(addend)
             k >>= 1
         return result
+
+    # -- serialization (halo2curves-style compressed: 64 bytes) ----------
+    def to_bytes(self) -> bytes:
+        """x.c0 || x.c1 as LE 32-byte reprs, y-parity (of y.c0) flag in the
+        top bit of the final byte; identity is all zeros."""
+        if self.is_identity:
+            return b"\x00" * 64
+        out = bytearray(self.x[0].to_bytes(32, "little"))
+        out += self.x[1].to_bytes(32, "little")
+        out[63] |= (self.y[0] & 1) << 7
+        return bytes(out)
+
+    @staticmethod
+    def from_bytes(data: bytes) -> "G2":
+        if len(data) != 64:
+            raise ValueError("G2 encoding must be 64 bytes")
+        if data == b"\x00" * 64:
+            return G2.identity()
+        b = bytearray(data)
+        sign = (b[63] >> 7) & 1
+        b[63] &= 0x7F
+        x = (
+            int.from_bytes(bytes(b[:32]), "little"),
+            int.from_bytes(bytes(b[32:]), "little"),
+        )
+        if x[0] >= P or x[1] >= P:
+            raise ValueError("invalid G2 x coordinate")
+        y2 = fq2_add(fq2_mul(fq2_mul(x, x), x), B_G2)
+        y = fq2_sqrt(y2)
+        if y is None:
+            raise ValueError("invalid point encoding")
+        if y[0] & 1 != sign:
+            y = fq2_neg(y)
+        pt = G2(x, y)
+        if not pt.is_on_curve():
+            raise ValueError("point not on curve")
+        return pt

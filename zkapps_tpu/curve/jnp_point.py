@@ -318,6 +318,107 @@ class JnpG1:
             )
         return acc, pflags
 
+    # -- batch-affine accumulators (MSM cheapest bucket path) --------------
+    #
+    # State per lane: affine (x, y) + an occupancy bit (affine coordinates
+    # cannot represent the identity) + a sticky poison bit.  A masked mixed
+    # add is lambda = (y2-y1)/(x2-x1) etc. — 3 muls + an amortized ~3-mul
+    # share of a per-step Montgomery-trick batch inversion, vs the xyzz
+    # kernel's 10 muls.  Same incompleteness contract as xyzz: P == Q is
+    # detected and poison-flagged (callers re-run with the complete kernel),
+    # P == -Q cancels (lane goes empty), empty lanes assign.
+
+    def affine_identity_like(self, shape_prefix):
+        """Empty batch-affine accumulator state: (ax, ay, occ, pflags)."""
+        shape = tuple(shape_prefix)
+        z = jnp.zeros(shape + (N_LIMBS,), jnp.uint32)
+        b = jnp.zeros(shape, jnp.uint32)
+        return z, z, b, b
+
+    def affine_step(self, ax, ay, occ, rows, valid, pflags):
+        """One masked batch-affine accumulation step over all lanes.
+
+        ax/ay (w,16) accumulator coordinates; occ (w,) uint32 occupancy;
+        rows (w,16) pack_affine-packed addends with digit signs pre-applied;
+        valid (w,) bool; pflags (w,) uint32 sticky poison.  Returns updated
+        (ax, ay, occ, pflags).  On the pallas backend the step runs as the
+        fused prep -> batch-inverse -> apply kernel trio
+        (fields/pallas_ops.paffine_step_pallas_auto).
+        """
+        from ..fields.jnp_ops import get_backend
+
+        w = ax.shape[0]
+        if get_backend() == "pallas" and w >= 256 and w % min(w, 8192) == 0:
+            from ..fields.pallas_ops import paffine_step_pallas_auto
+
+            u = jnp.uint32
+            axo, ayo, occo, pfo = paffine_step_pallas_auto(
+                self.f,
+                ax,
+                ay,
+                occ.astype(u).reshape(w, 1),
+                rows,
+                valid.astype(u).reshape(w, 1),
+                pflags.astype(u).reshape(w, 1),
+            )
+            return axo, ayo, occo.reshape(w), pfo.reshape(w)
+        f = self.f
+        q = self.unpack_affine(rows)
+        x2, y2 = q[..., 0, :], q[..., 1, :]
+        occb = occ > 0
+        d = f.sub(x2, ax)
+        num = f.sub(y2, ay)
+        dz = f.is_zero(d)
+        numz = f.is_zero(num)
+        active = valid & occb & (~dz)
+        fresh = valid & (~occb)
+        poison = valid & occb & dz & numz
+        cancel = valid & occb & dz & (~numz)
+        one = jnp.broadcast_to(f.one_mont, d.shape)
+        dsub = f.select(active, d, one)
+        lam = f.mul(num, f.batch_inv(dsub))
+        x3 = f.sub(f.sub(f.mul(lam, lam), ax), x2)
+        y3 = f.sub(f.mul(lam, f.sub(ax, x3)), ay)
+        m = lambda c, a, b: jnp.where(c[..., None], a, b)  # noqa: E731
+        axo = m(active, x3, m(fresh, x2, ax))
+        ayo = m(active, y3, m(fresh, y2, ay))
+        occo = (occb | fresh) & (~cancel)
+        return axo, ayo, occo.astype(jnp.uint32), pflags | poison.astype(jnp.uint32)
+
+    def affine_acc_to_xyzz(self, ax, ay, occ):
+        """Batch-affine state -> xyzz (X=x, Y=y, ZZ=ZZZ=1; empty -> zeros).
+
+        Used at the affine -> xyzz tier handover in the MSM (narrow tail
+        tiers run the R-chained xyzz slab kernel, which amortizes launch
+        latency better than per-step batch inversion)."""
+        one = jnp.broadcast_to(self.f.one_mont, ax.shape)
+        zero = jnp.zeros_like(ax)
+        occb = (occ > 0)[..., None]
+        z = jnp.where(occb, one, zero)
+        return jnp.stack(
+            [jnp.where(occb, ax, zero), jnp.where(occb, ay, zero), z, z], axis=-2
+        )
+
+    def affine_acc_to_projective(self, ax, ay, occ):
+        """Batch-affine state -> homogeneous projective (empty -> (0:1:0)).
+
+        The pallas path leaves coordinates in the lazy [0, 2p) domain; the
+        strict Montgomery mul by 1 canonicalizes (value-preserving)."""
+        f = self.f
+        one = jnp.broadcast_to(f.one_mont, ax.shape)
+        axc = f.mul(ax, one)
+        ayc = f.mul(ay, one)
+        occb = (occ > 0)[..., None]
+        zero = jnp.zeros_like(ax)
+        return jnp.stack(
+            [
+                jnp.where(occb, axc, zero),
+                jnp.where(occb, ayc, one),
+                jnp.where(occb, one, zero),
+            ],
+            axis=-2,
+        )
+
     def xyzz_to_projective(self, acc: jnp.ndarray) -> jnp.ndarray:
         """(…, 4, 16) xyzz -> (…, 3, 16) homogeneous projective.
 

@@ -119,14 +119,18 @@ def _fw_mul_small(a, k: int, p_arr):
     return result
 
 
-def _fw_mont_mul(a, b, p_arr, n0inv: int):
-    """Lazy-column Montgomery product, (16,T) x (16,T) -> (16,T).
+def _mont_mul_columns(a, b, p_arr, n0inv: int):
+    """The shared lazy-column CIOS loop of the strict and lazy Montgomery
+    multipliers: 16 interleaved product/reduction iterations, returning the
+    raw column state t (each column < 2^22) and a zero row for the caller's
+    epilogue.  The carry invariants live HERE, once — only the epilogues
+    (strict: track the 2^256 top + conditional subtract; lazy: drop both)
+    differ between _fw_mont_mul and _fw_mont_mul_lazy.
 
-    Same algorithm/bounds as jnp_ops.LimbField.mul, but the lazy-column
-    state stays a sublane-ALIGNED (16,T) tensor plus a (1,T) top column:
-    Mosaic tiles (17,T) u32 as 3x(8,128) sublane tiles per lane group, so
-    every add/mask op on the ragged layout costs 3 tiles instead of 2 —
-    keeping the hot loop at (16,T) cuts ~1/3 of the vector work.
+    The column state stays a sublane-ALIGNED (16,T) tensor plus a (1,T) top
+    column: Mosaic tiles (17,T) u32 as 3x(8,128) sublane tiles per lane
+    group, so every add/mask op on the ragged layout costs 3 tiles instead
+    of 2 — keeping the hot loop at (16,T) cuts ~1/3 of the vector work.
 
     Per iteration, column 16 only ever receives the two hi-halves
     prod_hi[15] + mp_hi[15] (< 2^17) and is immediately consumed by the
@@ -150,6 +154,15 @@ def _fw_mont_mul(a, b, p_arr, n0inv: int):
         t = t + jnp.concatenate([zrow, hi_sum[: N_LIMBS - 1]], axis=0)
         carry0 = t[0:1] >> LIMB_BITS
         t = jnp.concatenate([t[1:2] + carry0, t[2:], hi_sum[N_LIMBS - 1 :]], axis=0)
+    return t, zrow
+
+
+def _fw_mont_mul(a, b, p_arr, n0inv: int):
+    """Strict Montgomery product, (16,T) x (16,T) -> (16,T) canonical < p.
+
+    Same algorithm/bounds as jnp_ops.LimbField.mul (see _mont_mul_columns
+    for the shared loop and its layout rationale)."""
+    t, zrow = _mont_mul_columns(a, b, p_arr, n0inv)
     # lazy columns < 2^22: two relax passes bring them under 2^17, then KS;
     # the relax overflow out of row 15 accumulates in a (1,T) top column.
     top = zrow
@@ -283,25 +296,10 @@ def _fw_is_zero(x):
 def _fw_mont_mul_lazy(a, b, p_arr, n0inv):
     """Montgomery product over the lazy domain: a, b < 2p -> result < 2p.
 
-    Same lazy-column loop as _fw_mont_mul but the epilogue drops the
-    conditional subtract and the 2^256 top column (the value is < 1.76p
-    < 2^256, so the top is mathematically zero)."""
-    t = jnp.zeros((N_LIMBS, a.shape[1]), jnp.uint32)
-    zrow = jnp.zeros_like(a[0:1])
-    for i in range(N_LIMBS):
-        bi = b[i : i + 1]
-        prod = a * bi
-        plo = prod & MASK
-        phi = prod >> LIMB_BITS
-        m = (((t[0:1] + plo[0:1]) & MASK) * n0inv) & MASK
-        mp = p_arr * m
-        mlo = mp & MASK
-        mhi = mp >> LIMB_BITS
-        t = t + plo + mlo
-        hi_sum = phi + mhi
-        t = t + jnp.concatenate([zrow, hi_sum[: N_LIMBS - 1]], axis=0)
-        carry0 = t[0:1] >> LIMB_BITS
-        t = jnp.concatenate([t[1:2] + carry0, t[2:], hi_sum[N_LIMBS - 1 :]], axis=0)
+    Same lazy-column loop as _fw_mont_mul (_mont_mul_columns) but the
+    epilogue drops the conditional subtract and the 2^256 top column (the
+    value is < 1.76p < 2^256, so the top is mathematically zero)."""
+    t, zrow = _mont_mul_columns(a, b, p_arr, n0inv)
     for _ in range(2):
         lo = t & MASK
         hi = t >> LIMB_BITS
@@ -851,6 +849,333 @@ def pdbl_pallas(pts: jnp.ndarray, p: int, n0inv: int, tile: int, interpret: bool
         ],
         out_specs=pl.BlockSpec((tile, 3, N_LIMBS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     )(_p_col(p), pts)
+
+
+# ---------------------------------------------------------------------------
+# batch-affine bucket accumulation (the MSM slab loop's cheapest kernel)
+#
+# Accumulators are AFFINE (x, y) plus an occupancy bit: a mixed add is then
+# lambda = (y2-y1)/(x2-x1), x3 = lambda^2-x1-x2, y3 = lambda(x1-x3)-y1 —
+# 3 muls + 1 inverse vs the xyzz kernel's 10 muls.  The inverse is batched
+# with Montgomery's trick per STEP across all lanes: an up-sweep of chained
+# chunk products (1 mul/lane, phase 1), ONE vectorized Fermat pow over the
+# per-tile chain products (phase 2), and a down-sweep (2 muls/lane) fused
+# with the add formulas (phase 3) — ~6 muls/lane total.  Like xyzz, the
+# P == Q (doubling) case is detected and poison-flagged, not computed;
+# empty accumulators assign and cancellation empties the lane.  All field
+# arithmetic runs over the lazy [0, 2p) domain.
+# ---------------------------------------------------------------------------
+
+AFFINE_TILE = 8192
+AFFINE_CHUNK = 128  # lanes per chain link; chains span the tile/128 chunks
+
+
+def _vmem_limit_bytes() -> int:
+    """Scoped-vmem cap for the big fused kernels, derived from the device.
+
+    v4/v5 TensorCores carry 128 MB of VMEM (cap at 100 MB working set);
+    older v2/v3 cores only 16 MB (cap below it so Mosaic degrades to more
+    grid steps instead of failing to compile)."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:  # pragma: no cover - no backend at trace time
+        return 64 * 1024 * 1024
+    if "v2" in kind or "v3" in kind:
+        return 14 * 1024 * 1024
+    return 100 * 1024 * 1024
+
+
+def _unpack_packed_rows(rT):
+    """(16,T) packed affine rows -> (x2, y2) each (16,T) canonical limbs."""
+    xw, yw = rT[: N_LIMBS // 2], rT[N_LIMBS // 2 :]
+    x2 = jnp.concatenate([xw & MASK, xw >> LIMB_BITS], axis=0)
+    y2 = jnp.concatenate([yw & MASK, yw >> LIMB_BITS], axis=0)
+    return x2, y2
+
+
+def _affine_step_masks(d, num, occ_row, val_row, p_col):
+    """Shared phase-1/3 lane classification (must be bit-identical between
+    the prep and apply kernels: both recompute it from the same inputs)."""
+    dz = _fw_is_zero_2p(d, p_col)
+    numz = _fw_is_zero_2p(num, p_col) if num is not None else None
+    occb = occ_row > 0
+    val = val_row > 0
+    active = val & occb & (~dz)
+    fresh = val & (~occb)
+    poison = None if numz is None else (val & occb & dz & numz)
+    cancel = None if numz is None else (val & occb & dz & (~numz))
+    return active, fresh, poison, cancel, occb
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def paffine_prep_pallas(
+    ax: jnp.ndarray,
+    occ: jnp.ndarray,
+    rows: jnp.ndarray,
+    vmask: jnp.ndarray,
+    p: int,
+    n0inv: int,
+    tile: int,
+    interpret: bool = False,
+):
+    """Batch-affine step phase 1: substituted-denominator chain prefixes.
+
+    Per lane: d = x2 - x1 over the lazy domain; inactive lanes (invalid,
+    empty accumulator, or d == 0) substitute 1 so every chain product stays
+    invertible.  Chains run across the tile/128 chunks of each grid tile:
+    output column k*128+j holds prod_{i<=k} dsub[i*128+j] (the Montgomery-
+    trick up-sweep, ~1 mul/lane).  The LAST chunk of each tile is that
+    tile's 128 chain products — phase 2 (pbatchinv_pallas) inverts those.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = ax.shape[0]
+    g = tile // AFFINE_CHUNK
+
+    def kernel(pc_ref, a_ref, o_ref, r_ref, v_ref, out_ref):
+        p_col = pc_ref[:, 0:1]
+        one_col = pc_ref[:, 1:2]
+        p2_col = pc_ref[:, 2:3]
+        axT = a_ref[:].T
+        x2, _ = _unpack_packed_rows(r_ref[:].T)
+        d = _fw_sub_2p(x2, axT, p2_col)
+        active, _, _, _, _ = _affine_step_masks(
+            d, None, o_ref[:].T, v_ref[:].T, p_col
+        )
+        dsub = jnp.where(active, d, one_col)
+        c = dsub[:, :AFFINE_CHUNK]
+        outs = [c]
+        for k in range(1, g):
+            c = _fw_mont_mul_lazy(
+                c, dsub[:, k * AFFINE_CHUNK : (k + 1) * AFFINE_CHUNK], p_col, n0inv
+            )
+            outs.append(c)
+        out_ref[:] = jnp.concatenate(outs, axis=1).T
+
+    params = (
+        None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit_bytes())
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, N_LIMBS), jnp.uint32),
+        grid=(n // tile,),
+        interpret=interpret,
+        compiler_params=params,
+        in_specs=[
+            pl.BlockSpec((N_LIMBS, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, N_LIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, N_LIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, N_LIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    )(_p_one_col(p), ax, occ, rows, vmask)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def pbatchinv_pallas(prods: jnp.ndarray, p: int, n0inv: int, interpret: bool = False):
+    """Vectorized batch inverse of M chain products (M a power of two >= 256).
+
+    One kernel: tree-reduce the M products to 128 lanes (pairing i with
+    i + half at every level), ONE Fermat pow a^(p-2) on the (16,128) root
+    (LSB square-and-multiply fori over a bit-table input — tiny graph, 512
+    lazy muls at the VPU's minimum issue width), then tree-expand inverses
+    back out (inv_left = inv * right, inv_right = inv * left).  Amortized
+    ~3 muls per product + the fixed Fermat; all in VMEM.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = prods.shape[0]
+    assert m >= 256 and m & (m - 1) == 0, "M must be a power of two >= 256"
+    exp = p - 2
+    bits_np = np.array([[(exp >> i) & 1 for i in range(256)]], np.uint32)
+
+    def kernel(pc_ref, bits_ref, q_ref, out_ref):
+        p_col = pc_ref[:, 0:1]
+        one_col = pc_ref[:, 1:2]
+        q = q_ref[:].T  # (16, m)
+        levels = []
+        while q.shape[1] > AFFINE_CHUNK:
+            half = q.shape[1] // 2
+            levels.append(q)
+            q = _fw_mont_mul_lazy(q[:, :half], q[:, half:], p_col, n0inv)
+        bits = bits_ref[:]  # (1, 256)
+        r0 = jnp.broadcast_to(one_col, q.shape)
+
+        def fermat_body(i, carry):
+            r, s = carry
+            bit = jax.lax.dynamic_slice(bits, (0, i), (1, 1))
+            r2 = _fw_mont_mul_lazy(r, s, p_col, n0inv)
+            r = jnp.where(bit > 0, r2, r)
+            s = _fw_mont_mul_lazy(s, s, p_col, n0inv)
+            return r, s
+
+        inv, _ = jax.lax.fori_loop(0, 256, fermat_body, (r0, q))
+        for lvl in reversed(levels):
+            half = lvl.shape[1] // 2
+            inv_l = _fw_mont_mul_lazy(inv, lvl[:, half:], p_col, n0inv)
+            inv_r = _fw_mont_mul_lazy(inv, lvl[:, :half], p_col, n0inv)
+            inv = jnp.concatenate([inv_l, inv_r], axis=1)
+        out_ref[:] = inv.T
+
+    params = (
+        None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit_bytes())
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m, N_LIMBS), jnp.uint32),
+        grid=(1,),
+        interpret=interpret,
+        compiler_params=params,
+        in_specs=[
+            pl.BlockSpec((N_LIMBS, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 256), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, N_LIMBS), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, N_LIMBS), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    )(_p_one_col(p), jnp.asarray(bits_np), prods)
+
+
+@functools.partial(jax.jit, static_argnums=(8, 9, 10, 11))
+def paffine_apply_pallas(
+    ax: jnp.ndarray,
+    ay: jnp.ndarray,
+    occ: jnp.ndarray,
+    pflags: jnp.ndarray,
+    rows: jnp.ndarray,
+    vmask: jnp.ndarray,
+    cp: jnp.ndarray,
+    ichain: jnp.ndarray,
+    p: int,
+    n0inv: int,
+    tile: int,
+    interpret: bool = False,
+):
+    """Batch-affine step phase 3: down-sweep + fused affine mixed add.
+
+    Recomputes phase 1's lane classification (same inputs -> bit-identical),
+    walks each tile's inverse chain product back down (inv_d per chunk, 2
+    muls/lane), and applies lambda = num * inv_d, x3 = lambda^2 - x1 - x2,
+    y3 = lambda (x1 - x3) - y1 with the branchless selects:
+
+      fresh  (valid, empty lane)            -> assign (x2, y2), occupy
+      cancel (d == 0, num != 0: P == -Q)    -> empty the lane
+      poison (d == 0, num == 0: P == Q)     -> keep, set sticky flag
+      active                                -> (x3, y3)
+
+    Returns (ax', ay', occ', pflags').
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = ax.shape[0]
+    g = tile // AFFINE_CHUNK
+    ch = AFFINE_CHUNK
+
+    def kernel(
+        pc_ref, a_ref, b_ref, o_ref, f_ref, r_ref, v_ref, c_ref, i_ref,
+        ao_ref, bo_ref, oo_ref, fo_ref,
+    ):
+        p_col = pc_ref[:, 0:1]
+        one_col = pc_ref[:, 1:2]
+        p2_col = pc_ref[:, 2:3]
+        mul = lambda a, b: _fw_mont_mul_lazy(a, b, p_col, n0inv)  # noqa: E731
+        sub = lambda a, b: _fw_sub_2p(a, b, p2_col)  # noqa: E731
+
+        axT = a_ref[:].T
+        ayT = b_ref[:].T
+        x2, y2 = _unpack_packed_rows(r_ref[:].T)
+        d = sub(x2, axT)
+        num = sub(y2, ayT)
+        active, fresh, poison, cancel, occb = _affine_step_masks(
+            d, num, o_ref[:].T, v_ref[:].T, p_col
+        )
+        dsub = jnp.where(active, d, one_col)
+        cp_t = c_ref[:].T  # (16, tile) chain prefixes
+        ic = i_ref[:].T  # (16, 128) inverse of each chain's full product
+        lam_chunks: list = [None] * g
+        for k in range(g - 1, 0, -1):
+            invd = mul(ic, cp_t[:, (k - 1) * ch : k * ch])
+            lam_chunks[k] = mul(num[:, k * ch : (k + 1) * ch], invd)
+            ic = mul(ic, dsub[:, k * ch : (k + 1) * ch])
+        lam_chunks[0] = mul(num[:, :ch], ic)
+        lam = jnp.concatenate(lam_chunks, axis=1)
+        x3 = sub(sub(mul(lam, lam), axT), x2)
+        y3 = sub(mul(lam, sub(axT, x3)), ayT)
+
+        axo = jnp.where(active, x3, jnp.where(fresh, x2, axT))
+        ayo = jnp.where(active, y3, jnp.where(fresh, y2, ayT))
+        occo = (occb | fresh) & (~cancel)
+        ao_ref[:] = axo.T
+        bo_ref[:] = ayo.T
+        oo_ref[:] = occo.astype(jnp.uint32).T
+        fo_ref[:] = (f_ref[:].T | poison.astype(jnp.uint32)).T
+
+    params = (
+        None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit_bytes())
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, N_LIMBS), jnp.uint32),
+            jax.ShapeDtypeStruct((n, N_LIMBS), jnp.uint32),
+            jax.ShapeDtypeStruct((n, 1), jnp.uint32),
+            jax.ShapeDtypeStruct((n, 1), jnp.uint32),
+        ),
+        grid=(n // tile,),
+        interpret=interpret,
+        compiler_params=params,
+        in_specs=[
+            pl.BlockSpec((N_LIMBS, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, N_LIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, N_LIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, N_LIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, N_LIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((AFFINE_CHUNK, N_LIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, N_LIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, N_LIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+    )(_p_one_col(p), ax, ay, occ, pflags, rows, vmask, cp, ichain)
+
+
+def paffine_step_pallas_auto(field, ax, ay, occ, rows, vmask, pflags, tile: int = AFFINE_TILE):
+    """One batch-affine accumulation step = prep -> batchinv -> apply.
+
+    All arrays are width-major: ax/ay/rows (n,16), occ/vmask/pflags (n,1)
+    uint32; n must be a multiple of ``tile`` (the MSM glue pads the tier
+    state once, outside its step loop).  Returns (ax', ay', occ', pflags').
+    """
+    n = ax.shape[0]
+    t = min(tile, n)
+    assert t >= 2 * AFFINE_CHUNK and n % t == 0, (n, t)
+    cp = paffine_prep_pallas(ax, occ, rows, vmask, field.p, field.n0inv, t, _INTERPRET)
+    ntiles = n // t
+    m = ntiles * AFFINE_CHUNK
+    prods = cp.reshape(ntiles, t, N_LIMBS)[:, -AFFINE_CHUNK:, :].reshape(m, N_LIMBS)
+    m2 = max(256, 1 << (m - 1).bit_length())
+    if m2 != m:
+        pad = jnp.broadcast_to(field.one_mont, (m2 - m, N_LIMBS))
+        prods = jnp.concatenate([prods, pad], axis=0)
+    inv = pbatchinv_pallas(prods, field.p, field.n0inv, _INTERPRET)[:m]
+    return paffine_apply_pallas(
+        ax, ay, occ, pflags, rows, vmask, cp, inv,
+        field.p, field.n0inv, t, _INTERPRET,
+    )
 
 
 def _pad_to(arr, tile):

@@ -134,6 +134,111 @@ def set_bucket_scheme(name: str) -> None:
     globals()["_BUCKET_SCHEME"] = name
 
 
+def _sorted_layout(
+    g1: JnpG1,
+    points: jnp.ndarray,
+    ids: jnp.ndarray,
+    negs: jnp.ndarray,
+    c: int,
+    pad_rows: int,
+):
+    """Shared prologue of the sorted bucket-accumulation schemes.
+
+    Builds the step-major row layout (two device sorts) plus the bucket
+    count tables; returns a dict with rows2, the rank permutation and its
+    inverse, and the ``off_of(k)`` / ``m_of(k)`` step-addressing closures.
+    See _bucket_accumulate_sorted for the full layout rationale.
+    ``pad_rows`` extra zero rows are appended so step slices of any tier
+    width up to ``pad_rows`` never clamp.
+    """
+    n = points.shape[0]
+    n_win = ids.shape[0]
+    b = (1 << (c - 1)) + 1
+    width = n_win * b
+    total = n_win * n
+    f = g1.f
+    h = N_LIMBS // 2
+
+    pts_pk = g1.pack_affine(points[:, :2])
+    yw = pts_pk[:, h:]
+    y = jnp.concatenate([yw & 0xFFFF, yw >> LIMB_BITS], axis=-1)
+    ny = f.sub(jnp.zeros_like(y), y)
+    nyw = ny[:, :h] | (ny[:, h:] << LIMB_BITS)
+    pts_pk_neg = jnp.concatenate([pts_pk[:, :h], nyw], axis=-1)
+
+    pt_inf = f.is_zero(points[:, 2])
+    win_off = jnp.arange(n_win, dtype=jnp.int32)[:, None] * b
+    gids = ids + win_off
+    gids = jnp.where(pt_inf[None, :], win_off, gids).reshape(-1)
+    rows0 = jnp.where(
+        negs.reshape(-1)[:, None],
+        jnp.tile(pts_pk_neg, (n_win, 1)),
+        jnp.tile(pts_pk, (n_win, 1)),
+    )
+
+    srt1 = jax.lax.sort((gids,) + tuple(rows0[:, j] for j in range(N_LIMBS)), num_keys=1)
+    sorted_gid = srt1[0]
+
+    idx = jnp.arange(total, dtype=jnp.int32)
+    brk = sorted_gid[1:] != sorted_gid[:-1]
+    new_seg = jnp.concatenate([jnp.ones((1,), bool), brk])
+    end_seg = jnp.concatenate([brk, jnp.ones((1,), bool)])
+    first = jax.lax.cummax(jnp.where(new_seg, idx, 0))
+    last = jax.lax.cummin(jnp.where(end_seg, idx, jnp.int32(2**31 - 1)), reverse=True)
+    k_row = idx - first
+    cnt_row = last - first + 1
+    is_dump_row = (sorted_gid % b) == 0
+    cntp = jnp.where(is_dump_row, 0, cnt_row)
+
+    srt2 = jax.lax.sort(
+        (k_row, jnp.int32(2**31 - 1) - cntp, sorted_gid) + srt1[1:],
+        num_keys=3,
+    )
+    rows2 = jnp.stack(srt2[3:], axis=1)
+    # pad by the widest (padded) tier so step slices [off_k, off_k + w) never
+    # clamp (off_k <= total, w <= pad_rows): a clamped dynamic_slice would
+    # shift live rows off their rank-aligned lanes
+    rows2 = jnp.concatenate([rows2, jnp.zeros((pad_rows, N_LIMBS), jnp.uint32)], axis=0)
+
+    # bucket-level tables (width-sized)
+    bucket_range = jnp.arange(width, dtype=jnp.int32)
+    start = jnp.searchsorted(sorted_gid, bucket_range)
+    end = jnp.searchsorted(sorted_gid, bucket_range, side="right")
+    cnt_all = (end - start).astype(jnp.int32)
+    is_real = (bucket_range % b) != 0
+    count = jnp.where(is_real, cnt_all, 0)
+    rank = jnp.argsort(-count)  # stable: ties by gid — matches sort-2 order
+    count_r = count[rank]
+    cnt_sorted = jnp.sort(cnt_all)
+    csum0 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt_sorted, dtype=jnp.int32)]
+    )
+    cnt_real_sorted = jnp.sort(count)
+
+    def off_of(k):
+        """#pairs in steps < k  ==  sum_b min(cnt_b, k)."""
+        j = jnp.searchsorted(cnt_sorted, k)
+        return (csum0[j] + k * (width - j)).astype(jnp.int32)
+
+    def m_of(k):
+        """#live buckets in step k  ==  #real buckets with count > k."""
+        return (width - jnp.searchsorted(cnt_real_sorted, k, side="right")).astype(
+            jnp.int32
+        )
+
+    inv = jnp.zeros((width,), jnp.int32).at[rank].set(bucket_range)
+    return dict(
+        rows2=rows2,
+        count_r=count_r,
+        off_of=off_of,
+        m_of=m_of,
+        inv=inv,
+        width=width,
+        n_win=n_win,
+        b=b,
+    )
+
+
 def _bucket_accumulate_sorted(
     g1: JnpG1,
     points: jnp.ndarray,
@@ -173,9 +278,10 @@ def _bucket_accumulate_sorted(
     With ``xyzz=True`` the accumulators are xyzz coordinates and each step
     runs the 10-mul incomplete mixed add (curve/jnp_point.madd_slab_xyzz)
     instead of the complete RCB15 kernel; returns (buckets, poison_count)
-    where poison_count > 0 means some lane hit the undetectable-by-formula
-    P == Q case and the result is NOT trustworthy — callers must re-run with
-    xyzz=False.  With xyzz=False returns (buckets, 0).
+    where poison_count > 0 means some lane hit the P == Q case — which the
+    incomplete formula cannot COMPUTE (it is detected and flagged) — and the
+    result is NOT trustworthy: callers must re-run with xyzz=False.  With
+    xyzz=False returns (buckets, 0).
     """
     n = points.shape[0]
     n_win = ids.shape[0]
@@ -416,21 +522,38 @@ def default_window_bits(n: int) -> int:
     return 16
 
 
+def scheme_used(n: int, c: int, scheme: str = "complete") -> str:
+    """The bucket kernel msm_buckets_checked will ACTUALLY run for (n, c).
+
+    Returns 'gather' when the gather fallback applies (set_bucket_scheme or
+    the SORTED_MAX_PAIRS HBM cap) — in which case a requested 'xyzz'/'affine'
+    fast kernel is ignored; benches should check this instead of assuming the
+    requested kernel ran."""
+    n_pairs = num_windows(c) * n
+    if _BUCKET_SCHEME == "sorted" and n_pairs <= SORTED_MAX_PAIRS:
+        return scheme
+    return "gather"
+
+
 def msm_buckets_checked(
     points: jnp.ndarray, scalars_std: jnp.ndarray, c: int, scheme: str = "complete"
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pippenger phase 1: per-window bucket sums, (W, B-1, 3, 16).
 
     scheme 'complete' uses the exception-free RCB15 kernel (poison always 0);
-    'xyzz' uses the ~27%-cheaper incomplete xyzz kernel and returns a poison
-    count that callers MUST check — nonzero means an equal-point add was hit
-    and the result is invalid (re-run with 'complete').  See
-    _bucket_accumulate_sorted."""
-    assert scheme in ("complete", "xyzz")
+    'xyzz' uses the ~27%-cheaper incomplete xyzz kernel and 'affine' the
+    batch-affine kernel (~40% cheaper again); both fast kernels return a
+    poison count that callers MUST check — nonzero means an equal-point add
+    was hit and the result is invalid (re-run with 'complete').  See
+    _bucket_accumulate_sorted.  When the gather fallback applies the
+    requested fast kernel is NOT used (poison 0) — query ``scheme_used`` to
+    detect this."""
+    assert scheme in ("complete", "xyzz", "affine")
     g1 = G1_JNP
     ids, negs = signed_digits(scalars_std, c)
-    n_pairs = num_windows(c) * points.shape[0]
-    if _BUCKET_SCHEME == "sorted" and n_pairs <= SORTED_MAX_PAIRS:
+    if scheme_used(points.shape[0], c, scheme) != "gather":
+        if scheme == "affine":
+            return _bucket_accumulate_sorted_affine(g1, points, ids, negs, c)
         return _bucket_accumulate_sorted(g1, points, ids, negs, c, xyzz=scheme == "xyzz")
     # the gather scheme only has the complete kernel
     return _bucket_accumulate_all(g1, points, ids, negs, c), jnp.uint32(0)

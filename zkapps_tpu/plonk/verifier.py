@@ -143,5 +143,10 @@ def _verify(vk: PlonkVK, kzg: KZG, proof: bytes, publics: list[int]) -> bool:
     comm_list = [commitments[name] for name in names]
     queries = multiopen_queries(vk, x, poly_idx, evals)
     if vk.multiopen == "shplonk":
-        return kzg.multiopen_verify_shplonk(tr, comm_list, queries)
-    return kzg.multiopen_verify(tr, comm_list, queries)
+        ok = kzg.multiopen_verify_shplonk(tr, comm_list, queries)
+    else:
+        ok = kzg.multiopen_verify(tr, comm_list, queries)
+    # halo2_proofs transcripts consume exactly the proof stream: a proof with
+    # trailing bytes is malformed (benign-looking malleability otherwise).
+    tr.assert_consumed()
+    return ok

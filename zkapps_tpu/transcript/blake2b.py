@@ -40,16 +40,14 @@ class Blake2bWrite:
 
     # -- absorption ------------------------------------------------------
     def common_point(self, point: G1) -> None:
-        # Deviation from halo2 (which rejects infinity): the identity is
-        # absorbed as (0,0) and streams as the all-zero compressed encoding.
-        # Needed while proofs are unblinded (zero quotient chunks / constant
-        # aggregates can legitimately commit to the identity); revisit with
-        # ZK blinding (NOTES.md item 5).
+        # Matches halo2_proofs: the identity has no affine coordinates and is
+        # REJECTED (with Z_H blinding on every witness-carrying commitment a
+        # legitimate prover hits this only with negligible probability).
+        if point.is_identity:
+            raise ValueError("cannot absorb the identity point")
         self.state.update(BLAKE2B_PREFIX_POINT)
-        x = 0 if point.is_identity else point.x
-        y = 0 if point.is_identity else point.y
-        self.state.update(x.to_bytes(32, "little"))
-        self.state.update(y.to_bytes(32, "little"))
+        self.state.update(point.x.to_bytes(32, "little"))
+        self.state.update(point.y.to_bytes(32, "little"))
 
     def common_scalar(self, scalar: int) -> None:
         self.state.update(BLAKE2B_PREFIX_SCALAR)
@@ -91,11 +89,7 @@ class Blake2bRead:
 
     def read_point(self) -> G1:
         point = G1.from_bytes(self._take(32))
-        self.state.update(BLAKE2B_PREFIX_POINT)
-        x = 0 if point.is_identity else point.x
-        y = 0 if point.is_identity else point.y
-        self.state.update(x.to_bytes(32, "little"))
-        self.state.update(y.to_bytes(32, "little"))
+        self.common_point(point)
         return point
 
     def read_scalar(self) -> int:
@@ -109,11 +103,12 @@ class Blake2bRead:
         self.state.update((scalar % Fr.p).to_bytes(32, "little"))
 
     def common_point(self, point: G1) -> None:
+        # Matches halo2_proofs: identity points are rejected (see Blake2bWrite).
+        if point.is_identity:
+            raise ValueError("cannot absorb the identity point")
         self.state.update(BLAKE2B_PREFIX_POINT)
-        x = 0 if point.is_identity else point.x
-        y = 0 if point.is_identity else point.y
-        self.state.update(x.to_bytes(32, "little"))
-        self.state.update(y.to_bytes(32, "little"))
+        self.state.update(point.x.to_bytes(32, "little"))
+        self.state.update(point.y.to_bytes(32, "little"))
 
     def squeeze_challenge(self) -> int:
         self.state.update(BLAKE2B_PREFIX_CHALLENGE)
