@@ -92,3 +92,57 @@ def test_distributed_ntt_roundtrip(mesh):
     back = dntt.inverse(dntt.forward(x_mat))
     got = FR.decode(np.asarray(back).reshape(-1, 16))
     assert got == coeffs
+
+
+def test_distributed_ntt_coset_roundtrip(mesh):
+    """coset_forward/coset_inverse agree with the single-chip plan (the
+    quotient-stage requirement)."""
+    from zkapps_tpu.ntt.jnp_ntt import get_plan
+
+    log_n = 8
+    dntt = DistributedNTT(mesh, log_n)
+    coeffs = [(i * 13 + 3) % Fr.p for i in range(1 << log_n)]
+    x_mat = shard_leading(mesh, FR.encode(coeffs).reshape(dntt.n1, dntt.n2, 16))
+    m = dntt.coset_forward(x_mat)
+    # transposed order: M[k1, k2] == X[k1 + n1*k2]
+    want = FR.decode(get_plan(log_n).coset_forward(FR.encode(coeffs)))
+    flat = FR.decode(np.asarray(m).reshape(-1, 16))
+    assert flat[1 * dntt.n2 + 2] == want[1 + dntt.n1 * 2]
+    back = dntt.coset_inverse(m)
+    assert FR.decode(np.asarray(back).reshape(-1, 16)) == coeffs
+
+
+def test_rot_transposed_matches_flat_roll(mesh):
+    log_n = 8
+    dntt = DistributedNTT(mesh, log_n)
+    vals = [(i * 29 + 1) % Fr.p for i in range(1 << log_n)]
+    arr = FR.encode(vals)
+    # to transposed layout
+    t_mat = jnp.transpose(arr.reshape(dntt.n2, dntt.n1, 16), (1, 0, 2))
+    for r in (0, 1, 3, dntt.n1 - 1, dntt.n1, dntt.n1 + 5, (1 << log_n) - 1):
+        got = dntt.rot_transposed(t_mat, r)
+        want = jnp.roll(arr, -r, axis=0)
+        want_t = jnp.transpose(want.reshape(dntt.n2, dntt.n1, 16), (1, 0, 2))
+        assert np.array_equal(np.asarray(got), np.asarray(want_t)), r
+
+
+def test_sharded_prove_bit_identical(mesh):
+    """prove(mesh=...) must produce the SAME bytes as the single-device
+    prover (commit MSMs bucket-exchange, INTTs poly-sharded, quotient via
+    the four-step distributed coset NTT) and verify."""
+    from zkapps_tpu.circuit import Context, GateChip
+    from zkapps_tpu.pcs import get_srs
+    from zkapps_tpu.plonk import keygen, prove, verify
+
+    ctx = Context()
+    g = GateChip(ctx)
+    xc = ctx.load_witness(5)
+    out = g.add_const(g.add(g.mul(g.mul(xc, xc), xc), xc), 5)
+    ctx.make_public(out)
+    srs = get_srs(8, seed=b"dist-prove-test")
+    pk = keygen(ctx, srs)
+    proof = prove(pk, ctx, rng=random.Random(11), mesh=mesh)
+    pubs = [ctx.advice[c] % Fr.p for c in ctx.publics]
+    assert verify(pk.vk, pk.kzg, proof, pubs)
+    proof_local = prove(pk, ctx, rng=random.Random(11))
+    assert proof == proof_local

@@ -141,3 +141,88 @@ def test_msm_xyzz_cancellation_exact():
     assert int(poison) == 0
     want = g1_msm(points, scalars)
     assert msm_to_host(pa, sa, c, scheme="xyzz") == want
+
+
+def _force_affine(monkeypatch, min_width=1, floor=None):
+    """Route scheme='affine' through the batch-affine tiers at tiny widths."""
+    from zkapps_tpu.msm import jnp_msm
+
+    monkeypatch.setattr(jnp_msm, "AFFINE_MIN_WIDTH", min_width)
+    if floor is not None:
+        orig = jnp_msm._tier_widths.__wrapped__ if hasattr(jnp_msm._tier_widths, "__wrapped__") else jnp_msm._tier_widths
+        monkeypatch.setattr(jnp_msm, "_tier_widths", lambda full, _o=orig: _o(full, floor))
+
+
+def test_msm_affine_scheme_matches_complete(monkeypatch):
+    """Batch-affine bucket kernel == complete kernel on distinct points."""
+    from zkapps_tpu.msm.jnp_msm import msm_window_sums_checked
+
+    _force_affine(monkeypatch)
+    n, c = 48, 8
+    points = [G.mul(random.randrange(1, Fr.p)) for _ in range(n)]
+    points[5] = G1.identity()
+    scalars = [random.randrange(Fr.p) for _ in range(n)]
+    scalars[0] = 0
+    scalars[1] = Fr.p - 1
+    pa = G1_JNP.encode(points)
+    sa = FR.encode(scalars, mont=False)
+    ws_c, p_c = msm_window_sums_checked(pa, sa, c, "complete")
+    ws_a, p_a = msm_window_sums_checked(pa, sa, c, "affine")
+    assert int(p_c) == 0 and int(p_a) == 0
+    for a, b in zip(G1_JNP.decode(ws_c), G1_JNP.decode(ws_a)):
+        assert a == b
+
+
+def test_msm_affine_poison_detected_and_fallback_exact(monkeypatch):
+    """Equal-point adds poison the affine kernel; msm_to_host re-runs exact."""
+    from zkapps_tpu.msm.jnp_msm import msm_to_host, msm_window_sums_checked
+
+    _force_affine(monkeypatch)
+    n, c = 16, 8
+    points = [G.mul(i + 2) for i in range(n // 2)] * 2
+    scalars = [random.randrange(Fr.p) for _ in range(n // 2)] * 2
+    pa = G1_JNP.encode(points)
+    sa = FR.encode(scalars, mont=False)
+    _, poison = msm_window_sums_checked(pa, sa, c, "affine")
+    assert int(poison) > 0
+    want = g1_msm(points, scalars)
+    got = msm_to_host(pa, sa, c, scheme="affine")
+    assert got == want
+
+
+def test_msm_affine_cancellation_exact(monkeypatch):
+    """P + (-P) empties the affine lane exactly (no poison), and the lane
+    re-fills correctly if more addends follow."""
+    from zkapps_tpu.msm.jnp_msm import msm_to_host, msm_window_sums_checked
+
+    _force_affine(monkeypatch)
+    c = 8
+    p0 = G.mul(1234567)
+    points = [p0, p0.neg(), G.mul(42), G.mul(99)]
+    s = random.randrange(1, 1 << (c - 2))  # same positive digit each window
+    scalars = [s, s, random.randrange(Fr.p), s]
+    pa = G1_JNP.encode(points)
+    sa = FR.encode(scalars, mont=False)
+    _, poison = msm_window_sums_checked(pa, sa, c, "affine")
+    assert int(poison) == 0
+    want = g1_msm(points, scalars)
+    assert msm_to_host(pa, sa, c, scheme="affine") == want
+
+
+def test_msm_affine_xyzz_tail_handover(monkeypatch):
+    """Affine tiers + xyzz tail tiers must agree with the complete kernel
+    (exercises the affine->xyzz state conversion at the tier boundary)."""
+    from zkapps_tpu.msm.jnp_msm import msm_window_sums_checked
+
+    _force_affine(monkeypatch, min_width=2049, floor=512)
+    n, c = 64, 8  # width = 32 windows * 129 = 4128 -> tiers 4128/2048/1024/512
+    points = [G.mul(random.randrange(1, Fr.p)) for _ in range(n)]
+    scalars = [random.randrange(Fr.p) for _ in range(n)]
+    scalars[3] = scalars[4] = 7  # duplicate scalars: deeper buckets
+    pa = G1_JNP.encode(points)
+    sa = FR.encode(scalars, mont=False)
+    ws_c, _ = msm_window_sums_checked(pa, sa, c, "complete")
+    ws_a, p_a = msm_window_sums_checked(pa, sa, c, "affine")
+    assert int(p_a) == 0
+    for a, b in zip(G1_JNP.decode(ws_c), G1_JNP.decode(ws_a)):
+        assert a == b

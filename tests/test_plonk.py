@@ -158,3 +158,19 @@ def test_shplonk_tamper_rejected(setup):
     proof = bytearray(prove(pk, ctx))
     proof[-1] ^= 0x40
     assert not verify(pk.vk, pk.kzg, bytes(proof), publics_of(ctx))
+
+
+def test_prove_verify_roundtrip_ipa():
+    """PLONK over the IPA commitment scheme (keygen pcs='ipa') — the
+    reference's halo2_proofs poly/ipa backend analog."""
+    ctx = build_cubic(3)
+    check_circuit(ctx)
+    pk = keygen(ctx, None, pcs="ipa")
+    proof = prove(pk, ctx, debug_checks=True)
+    pubs = publics_of(ctx)
+    assert verify(pk.vk, pk.kzg, proof, pubs)
+    assert not verify(pk.vk, pk.kzg, proof, [(pubs[0] + 1) % P])
+    assert not verify(pk.vk, pk.kzg, proof + b"junk", pubs)
+    tampered = bytearray(proof)
+    tampered[40] ^= 1
+    assert not verify(pk.vk, pk.kzg, bytes(tampered), pubs)

@@ -241,3 +241,129 @@ def test_update_note_rejects_wrong_merkle_root():
     witness["merkle_root"] = (witness["merkle_root"] + 1) % P
     with pytest.raises(AssertionError):
         build_update_note_circuit(**witness)
+
+
+# ---------------------------------------------------------------------------
+# Generic Account/Operation protocol (account.rs:8-21, operation.rs:3-23):
+# a SECOND account family plugs into the same update_note relation.
+# ---------------------------------------------------------------------------
+
+
+class CounterOpPub:
+    """Toy op: [amount, tag]."""
+
+    def __init__(self, amount, tag):
+        self.amount, self.tag = amount, tag
+
+    def to_vec(self):
+        return [self.amount, self.tag]
+
+
+class CounterOpPriv:
+    """Private half: [tag] (combine constrains tag equality)."""
+
+    def __init__(self, tag):
+        self.tag = tag
+
+    def to_vec(self):
+        return [self.tag]
+
+
+class CounterAccount:
+    """Toy single-counter account: state = [count]."""
+
+    def __init__(self, count):
+        self.count = count
+
+    def to_vec(self):
+        return [self.count]
+
+    def hash(self):
+        return hash_host(self.to_vec())
+
+    def update(self, op):
+        return CounterAccount((self.count + op.amount) % P)
+
+
+class CircuitCounterAccount:
+    def __init__(self, cells):
+        self.cells = cells
+
+    @staticmethod
+    def load(ctx, account):
+        return CircuitCounterAccount([ctx.load_witness(v) for v in account.to_vec()])
+
+    def to_vec(self):
+        return list(self.cells)
+
+    def update(self, gate, op_cells):
+        amount = op_cells[0]
+        return CircuitCounterAccount([gate.add(self.cells[0], amount)])
+
+
+def _counter_combine(gate, op_priv_cells, op_pub_cells):
+    eq = gate.is_equal(op_priv_cells[0], op_pub_cells[1])
+    gate.assert_is_const(eq, 1)
+    return op_pub_cells
+
+
+def _counter_model():
+    from zkapps_tpu.relations import AccountModel
+
+    return AccountModel(load=CircuitCounterAccount.load, circuit_combine=_counter_combine)
+
+
+def build_counter_witness(amount=7, tamper_tag=False):
+    tag = rand()
+    zk_id, trapdoor_old, nullifier_old = rand(), rand(), rand()
+    trapdoor_new, nullifier_new = rand(), rand()
+    old_account = CounterAccount(42)
+    op_pub = CounterOpPub(amount=amount, tag=tag)
+    op_priv = CounterOpPriv(tag=(tag + 1) % P if tamper_tag else tag)
+    new_account = old_account.update(op_pub)
+
+    old_note = (zk_id, trapdoor_old, nullifier_old, old_account.hash())
+    new_note = (zk_id, trapdoor_new, nullifier_new, new_account.hash())
+    old_note_hash = hash_host(list(old_note))
+
+    leaf_id = 5
+    path = [rand() for _ in range(DEPTH)]
+    merkle_root = host_merkle_root(old_note_hash, path, leaf_id)
+    proof = MerkleProofWitness(merkle_path_shape(leaf_id, DEPTH), path)
+    return dict(
+        op_pub=op_pub,
+        new_note_hash=hash_host(list(new_note)),
+        merkle_root=merkle_root,
+        new_note=new_note,
+        old_note=old_note,
+        merkle_proof=proof,
+        op_priv=op_priv,
+        old_account=old_account,
+        model=_counter_model(),
+    )
+
+
+def test_generic_account_second_family():
+    """A toy second account family proves through the SAME relation."""
+    ctx = build_update_note_circuit(**build_counter_witness())
+    check_circuit(ctx)
+    # publics: [op_pub (2 cells)..., new_note_hash, merkle_root, nullifier]
+    assert len(ctx.publics) == 2 + 3
+
+
+def test_generic_account_combine_rejects_mismatch():
+    with pytest.raises(AssertionError):
+        ctx = build_update_note_circuit(**build_counter_witness(tamper_tag=True))
+        check_circuit(ctx)
+
+
+def test_generic_account_wrong_state_transition_rejected():
+    witness = build_counter_witness()
+    # claim a new note whose account hash skips the operation
+    zk_id, trapdoor, nullifier, _ = witness["new_note"]
+    bad_note = (zk_id, trapdoor, nullifier, CounterAccount(41).hash())
+    witness["new_note"] = bad_note
+    witness["new_note_hash"] = hash_host(list(bad_note))
+    with pytest.raises(AssertionError):
+        ctx = build_update_note_circuit(**witness)
+        check_circuit(ctx)

@@ -348,7 +348,9 @@ class JnpG1:
         from ..fields.jnp_ops import get_backend
 
         w = ax.shape[0]
-        if get_backend() == "pallas" and w >= 256 and w % min(w, 8192) == 0:
+        if get_backend() == "pallas" and w >= 256 and (
+            w % 8192 == 0 or (w <= 8192 and w % 256 == 0)
+        ):
             from ..fields.pallas_ops import paffine_step_pallas_auto
 
             u = jnp.uint32

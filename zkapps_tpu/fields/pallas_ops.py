@@ -867,7 +867,14 @@ def pdbl_pallas(pts: jnp.ndarray, p: int, n0inv: int, tile: int, interpret: bool
 # ---------------------------------------------------------------------------
 
 AFFINE_TILE = 8192
-AFFINE_CHUNK = 128  # lanes per chain link; chains span the tile/128 chunks
+# Chains span AFFINE_G chunks of width tile/AFFINE_G.  G trades chain-link
+# WIDTH against batch-inverse width: G=64 (128-lane links) measured ~4x
+# worse than modeled — a (16,128) mul is only 2 VPU issues and the chain is
+# serially dependent, so the pipeline drains between ops.  G=16 gives
+# 512-lane links (8 issues/op) at the cost of 4x more chain products into
+# the phase-2 inverse (tree-reduced there, ~3 muls/product amortized).
+AFFINE_G = 16
+AFFINE_FERMAT_W = 128  # phase-2 tree reduces to this width before the pow
 
 
 def _vmem_limit_bytes() -> int:
@@ -931,7 +938,8 @@ def paffine_prep_pallas(
     from jax.experimental.pallas import tpu as pltpu
 
     n = ax.shape[0]
-    g = tile // AFFINE_CHUNK
+    g = AFFINE_G
+    cw = tile // g
 
     def kernel(pc_ref, a_ref, o_ref, r_ref, v_ref, out_ref):
         p_col = pc_ref[:, 0:1]
@@ -944,12 +952,10 @@ def paffine_prep_pallas(
             d, None, o_ref[:].T, v_ref[:].T, p_col
         )
         dsub = jnp.where(active, d, one_col)
-        c = dsub[:, :AFFINE_CHUNK]
+        c = dsub[:, :cw]
         outs = [c]
         for k in range(1, g):
-            c = _fw_mont_mul_lazy(
-                c, dsub[:, k * AFFINE_CHUNK : (k + 1) * AFFINE_CHUNK], p_col, n0inv
-            )
+            c = _fw_mont_mul_lazy(c, dsub[:, k * cw : (k + 1) * cw], p_col, n0inv)
             outs.append(c)
         out_ref[:] = jnp.concatenate(outs, axis=1).T
 
@@ -999,16 +1005,19 @@ def pbatchinv_pallas(prods: jnp.ndarray, p: int, n0inv: int, interpret: bool = F
         one_col = pc_ref[:, 1:2]
         q = q_ref[:].T  # (16, m)
         levels = []
-        while q.shape[1] > AFFINE_CHUNK:
+        while q.shape[1] > AFFINE_FERMAT_W:
             half = q.shape[1] // 2
             levels.append(q)
             q = _fw_mont_mul_lazy(q[:, :half], q[:, half:], p_col, n0inv)
         bits = bits_ref[:]  # (1, 256)
+        idx_row = jax.lax.broadcasted_iota(jnp.uint32, bits.shape, 1)
         r0 = jnp.broadcast_to(one_col, q.shape)
 
         def fermat_body(i, carry):
+            # bit i via masked reduce: Mosaic has no dynamic_slice on TPU
+            # (and no unsigned reductions — go through int32)
             r, s = carry
-            bit = jax.lax.dynamic_slice(bits, (0, i), (1, 1))
+            bit = jnp.sum(jnp.where(idx_row == i, bits, 0).astype(jnp.int32))
             r2 = _fw_mont_mul_lazy(r, s, p_col, n0inv)
             r = jnp.where(bit > 0, r2, r)
             s = _fw_mont_mul_lazy(s, s, p_col, n0inv)
@@ -1075,8 +1084,8 @@ def paffine_apply_pallas(
     from jax.experimental.pallas import tpu as pltpu
 
     n = ax.shape[0]
-    g = tile // AFFINE_CHUNK
-    ch = AFFINE_CHUNK
+    g = AFFINE_G
+    ch = tile // g
 
     def kernel(
         pc_ref, a_ref, b_ref, o_ref, f_ref, r_ref, v_ref, c_ref, i_ref,
@@ -1098,7 +1107,7 @@ def paffine_apply_pallas(
         )
         dsub = jnp.where(active, d, one_col)
         cp_t = c_ref[:].T  # (16, tile) chain prefixes
-        ic = i_ref[:].T  # (16, 128) inverse of each chain's full product
+        ic = i_ref[:].T  # (16, tile/G) inverse of each chain's full product
         lam_chunks: list = [None] * g
         for k in range(g - 1, 0, -1):
             invd = mul(ic, cp_t[:, (k - 1) * ch : k * ch])
@@ -1142,7 +1151,7 @@ def paffine_apply_pallas(
             pl.BlockSpec((tile, N_LIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, N_LIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((AFFINE_CHUNK, N_LIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile // AFFINE_G, N_LIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((tile, N_LIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -1162,11 +1171,12 @@ def paffine_step_pallas_auto(field, ax, ay, occ, rows, vmask, pflags, tile: int 
     """
     n = ax.shape[0]
     t = min(tile, n)
-    assert t >= 2 * AFFINE_CHUNK and n % t == 0, (n, t)
+    cw = t // AFFINE_G
+    assert cw >= 1 and n % t == 0 and t % AFFINE_G == 0, (n, t)
     cp = paffine_prep_pallas(ax, occ, rows, vmask, field.p, field.n0inv, t, _INTERPRET)
     ntiles = n // t
-    m = ntiles * AFFINE_CHUNK
-    prods = cp.reshape(ntiles, t, N_LIMBS)[:, -AFFINE_CHUNK:, :].reshape(m, N_LIMBS)
+    m = ntiles * cw
+    prods = cp.reshape(ntiles, t, N_LIMBS)[:, -cw:, :].reshape(m, N_LIMBS)
     m2 = max(256, 1 << (m - 1).bit_length())
     if m2 != m:
         pad = jnp.broadcast_to(field.one_mont, (m2 - m, N_LIMBS))

@@ -52,6 +52,13 @@ def _allreduce_tree(gathered: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
+# jitted-graph caches: repeat calls with the same (mesh, c) must NOT wrap a
+# fresh jax.jit — a cold bucket-exchange compile is ~2 min on this sandbox's
+# XLA:CPU, and the sharded prover commits ~8 polys per proof
+_SHARDED_CACHE: dict = {}
+_EXCHANGE_CACHE: dict = {}
+
+
 def msm_sharded(mesh, points, scalars_std, c: int | None = None):
     """MSM over a device mesh.  points (n,3,16) / scalars (n,16) sharded on
     axis 0; returns a replicated (3,16) projective result."""
@@ -59,19 +66,23 @@ def msm_sharded(mesh, points, scalars_std, c: int | None = None):
     if c is None:
         c = default_window_bits(n // mesh.size)
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS)),
-        out_specs=P(),
-        check_vma=False,
-    )
-    def run(pts, scs):
-        partial = msm_core(pts, scs, c)  # (3,16) on each device
-        gathered = jax.lax.all_gather(partial, AXIS)  # (D,3,16)
-        return _allreduce_tree(gathered)[0]
+    key = (id(mesh), c)
+    if key not in _SHARDED_CACHE:
 
-    return jax.jit(run)(points, scalars_std)
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS)),
+            out_specs=P(),
+            check_vma=False,
+        )
+        def run(pts, scs):
+            partial = msm_core(pts, scs, c)  # (3,16) on each device
+            gathered = jax.lax.all_gather(partial, AXIS)  # (D,3,16)
+            return _allreduce_tree(gathered)[0]
+
+        _SHARDED_CACHE[key] = jax.jit(run)
+    return _SHARDED_CACHE[key](points, scalars_std)
 
 
 def _reduce_scatter_windows(buckets: jnp.ndarray, d: int) -> jnp.ndarray:
@@ -113,22 +124,26 @@ def msm_bucket_exchange(mesh, points, scalars_std, c: int | None = None):
     w = num_windows(c)
     w_pad = -(-w // d) * d
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS)),
-        out_specs=P(),
-        check_vma=False,
-    )
-    def run(pts, scs):
-        buckets = msm_buckets(pts, scs, c)  # (W, B-1, 3, 16) local
-        if w_pad != w:
-            pad = G1_JNP.identity_like((w_pad - w, buckets.shape[1]))
-            buckets = jnp.concatenate([buckets, pad], axis=0)
-        mine = _reduce_scatter_windows(buckets, d)  # (W_pad/d, B-1, 3, 16)
-        my_sums = window_sums_of(mine)  # (W_pad/d, 3, 16)
-        all_sums = jax.lax.all_gather(my_sums, AXIS)  # (d, W_pad/d, 3, 16)
-        window_sums = all_sums.reshape(w_pad, 3, all_sums.shape[-1])[:w]
-        return _window_combine(G1_JNP, window_sums, c)
+    key = (id(mesh), c)
+    if key not in _EXCHANGE_CACHE:
 
-    return jax.jit(run)(points, scalars_std)
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS)),
+            out_specs=P(),
+            check_vma=False,
+        )
+        def run(pts, scs):
+            buckets = msm_buckets(pts, scs, c)  # (W, B-1, 3, 16) local
+            if w_pad != w:
+                pad = G1_JNP.identity_like((w_pad - w, buckets.shape[1]))
+                buckets = jnp.concatenate([buckets, pad], axis=0)
+            mine = _reduce_scatter_windows(buckets, d)  # (W_pad/d, B-1, 3, 16)
+            my_sums = window_sums_of(mine)  # (W_pad/d, 3, 16)
+            all_sums = jax.lax.all_gather(my_sums, AXIS)  # (d, W_pad/d, 3, 16)
+            window_sums = all_sums.reshape(w_pad, 3, all_sums.shape[-1])[:w]
+            return _window_combine(G1_JNP, window_sums, c)
+
+        _EXCHANGE_CACHE[key] = jax.jit(run)
+    return _EXCHANGE_CACHE[key](points, scalars_std)

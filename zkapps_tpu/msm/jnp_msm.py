@@ -283,81 +283,12 @@ def _bucket_accumulate_sorted(
     result is NOT trustworthy: callers must re-run with xyzz=False.  With
     xyzz=False returns (buckets, 0).
     """
-    n = points.shape[0]
-    n_win = ids.shape[0]
-    b = (1 << (c - 1)) + 1
-    width = n_win * b
-    total = n_win * n
     r_steps = SLAB_R
-    f = g1.f
-    h = N_LIMBS // 2
-
-    pts_pk = g1.pack_affine(points[:, :2])
-    yw = pts_pk[:, h:]
-    y = jnp.concatenate([yw & 0xFFFF, yw >> LIMB_BITS], axis=-1)
-    ny = f.sub(jnp.zeros_like(y), y)
-    nyw = ny[:, :h] | (ny[:, h:] << LIMB_BITS)
-    pts_pk_neg = jnp.concatenate([pts_pk[:, :h], nyw], axis=-1)
-
-    pt_inf = f.is_zero(points[:, 2])
-    win_off = jnp.arange(n_win, dtype=jnp.int32)[:, None] * b
-    gids = ids + win_off
-    gids = jnp.where(pt_inf[None, :], win_off, gids).reshape(-1)
-    rows0 = jnp.where(
-        negs.reshape(-1)[:, None],
-        jnp.tile(pts_pk_neg, (n_win, 1)),
-        jnp.tile(pts_pk, (n_win, 1)),
-    )
-
-    srt1 = jax.lax.sort((gids,) + tuple(rows0[:, j] for j in range(N_LIMBS)), num_keys=1)
-    sorted_gid = srt1[0]
-
-    idx = jnp.arange(total, dtype=jnp.int32)
-    brk = sorted_gid[1:] != sorted_gid[:-1]
-    new_seg = jnp.concatenate([jnp.ones((1,), bool), brk])
-    end_seg = jnp.concatenate([brk, jnp.ones((1,), bool)])
-    first = jax.lax.cummax(jnp.where(new_seg, idx, 0))
-    last = jax.lax.cummin(jnp.where(end_seg, idx, jnp.int32(2**31 - 1)), reverse=True)
-    k_row = idx - first
-    cnt_row = last - first + 1
-    is_dump_row = (sorted_gid % b) == 0
-    cntp = jnp.where(is_dump_row, 0, cnt_row)
-
-    srt2 = jax.lax.sort(
-        (k_row, jnp.int32(2**31 - 1) - cntp, sorted_gid) + srt1[1:],
-        num_keys=3,
-    )
-    rows2 = jnp.stack(srt2[3:], axis=1)
-    # pad by the widest tier so step slices [off_k, off_k + w_t) never clamp
-    # (off_k <= total, w_t <= width): a clamped dynamic_slice would shift
-    # live rows off their rank-aligned lanes
-    rows2 = jnp.concatenate([rows2, jnp.zeros((width, N_LIMBS), jnp.uint32)], axis=0)
-
-    # bucket-level tables (width-sized)
-    bucket_range = jnp.arange(width, dtype=jnp.int32)
-    start = jnp.searchsorted(sorted_gid, bucket_range)
-    end = jnp.searchsorted(sorted_gid, bucket_range, side="right")
-    cnt_all = (end - start).astype(jnp.int32)
-    is_real = (bucket_range % b) != 0
-    count = jnp.where(is_real, cnt_all, 0)
-    rank = jnp.argsort(-count)  # stable: ties by gid — matches sort-2 order
-    count_r = count[rank]
-    cnt_sorted = jnp.sort(cnt_all)
-    csum0 = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt_sorted, dtype=jnp.int32)]
-    )
-    cnt_real_sorted = jnp.sort(count)
-
-    def off_of(k):
-        """#pairs in steps < k  ==  sum_b min(cnt_b, k)."""
-        j = jnp.searchsorted(cnt_sorted, k)
-        return (csum0[j] + k * (width - j)).astype(jnp.int32)
-
-    def m_of(k):
-        """#live buckets in step k  ==  #real buckets with count > k."""
-        return (width - jnp.searchsorted(cnt_real_sorted, k, side="right")).astype(
-            jnp.int32
-        )
+    lay = _sorted_layout(g1, points, ids, negs, c, pad_rows=ids.shape[0] * ((1 << (c - 1)) + 1))
+    rows2 = lay["rows2"]
+    count_r = lay["count_r"]
+    off_of, m_of = lay["off_of"], lay["m_of"]
+    width, n_win, b = lay["width"], lay["n_win"], lay["b"]
 
     if xyzz:
         buckets = g1.identity_xyzz_like((width,))
@@ -404,13 +335,147 @@ def _bucket_accumulate_sorted(
         buckets = jax.lax.dynamic_update_slice_in_dim(buckets, tier, 0, axis=0)
         k_lo = k_lo + n_slabs * r_steps
 
-    inv = jnp.zeros((width,), jnp.int32).at[rank].set(bucket_range)
+    inv = lay["inv"]
     if xyzz:
         poison = jnp.sum(pflags)
         buckets = g1.xyzz_to_projective(buckets)[inv]
         return buckets.reshape(n_win, b, 3, N_LIMBS)[:, 1:], poison
     buckets = buckets[inv]
     return buckets.reshape(n_win, b, 3, N_LIMBS)[:, 1:], jnp.uint32(0)
+
+
+# Tiers at least this wide run the batch-affine kernel; narrower tail tiers
+# hand over to the R-chained xyzz slab (per-step batch inversion stops
+# paying once step width drops toward launch-latency scale).  Module global
+# so tests can force the affine path at small widths.
+AFFINE_MIN_WIDTH = 1 << 16
+
+
+def _bucket_accumulate_sorted_affine(
+    g1: JnpG1,
+    points: jnp.ndarray,
+    ids: jnp.ndarray,
+    negs: jnp.ndarray,
+    c: int,
+):
+    """Sorted step-major accumulation with BATCH-AFFINE accumulators.
+
+    Same layout/addressing as _bucket_accumulate_sorted, but wide tiers run
+    one batch-affine step per k (prep -> batched inverse -> apply; ~6 muls
+    per addend vs the xyzz kernel's 10 — see curve/jnp_point.affine_step),
+    and tiers narrower than AFFINE_MIN_WIDTH convert the remaining active
+    prefix to xyzz once and finish with the R-chained xyzz slab kernel.
+    Returns (buckets (W, B-1, 3, 16), poison_count) with the same poison
+    contract as xyzz: nonzero means an equal-point add was detected and the
+    caller must re-run with the complete kernel.
+    """
+    from ..fields.jnp_ops import get_backend
+
+    r_steps = SLAB_R
+    b = (1 << (c - 1)) + 1
+    n_win = ids.shape[0]
+    width = n_win * b
+    widths = _tier_widths(width)
+    if widths[0] < AFFINE_MIN_WIDTH:
+        # too small for the affine scheme to pay — xyzz throughout
+        return _bucket_accumulate_sorted(g1, points, ids, negs, c, xyzz=True)
+
+    # pad the tier state once (outside the step loops) to the pallas tile
+    if get_backend() == "pallas":
+        from ..fields.pallas_ops import AFFINE_TILE
+
+        tile = AFFINE_TILE
+    else:
+        tile = 1
+    wpads = [-(-w // tile) * tile for w in widths]
+    lay = _sorted_layout(g1, points, ids, negs, c, pad_rows=wpads[0])
+    rows2 = lay["rows2"]
+    count_r = lay["count_r"]
+    off_of, m_of = lay["off_of"], lay["m_of"]
+
+    ax, ay, occ, pfl = g1.affine_identity_like((wpads[0],))
+    k_lo = jnp.int32(0)
+    tail_t = len(widths)
+    for t, w_t in enumerate(widths):
+        if w_t < AFFINE_MIN_WIDTH:
+            tail_t = t
+            break
+        if t + 1 < len(widths):
+            k_hi = count_r[widths[t + 1]]
+        else:
+            k_hi = count_r[0]  # max occupancy
+        w_pad = wpads[t]
+        lane_t = jnp.arange(w_pad, dtype=jnp.int32)
+
+        def step(i, carry, k_lo=k_lo, w_pad=w_pad, lane_t=lane_t):
+            ax_t, ay_t, occ_t, pf_t = carry
+            k = k_lo + i
+            rows = jax.lax.dynamic_slice(rows2, (off_of(k), 0), (w_pad, N_LIMBS))
+            vm = lane_t < m_of(k)
+            return g1.affine_step(ax_t, ay_t, occ_t, rows, vm, pf_t)
+
+        n_steps = jnp.maximum(0, k_hi - k_lo)
+        ax_t, ay_t, occ_t, pf_t = jax.lax.fori_loop(
+            0, n_steps, step, (ax[:w_pad], ay[:w_pad], occ[:w_pad], pfl[:w_pad])
+        )
+        upd = jax.lax.dynamic_update_slice_in_dim
+        ax = upd(ax, ax_t, 0, axis=0)
+        ay = upd(ay, ay_t, 0, axis=0)
+        occ = upd(occ, occ_t, 0, axis=0)
+        pfl = upd(pfl, pf_t, 0, axis=0)
+        k_lo = jnp.maximum(k_lo, k_hi)
+
+    if tail_t == len(widths):
+        buckets = g1.affine_acc_to_projective(ax[:width], ay[:width], occ[:width])
+        poison = jnp.sum(pfl[:width])
+    else:
+        # xyzz tail: convert the still-active prefix once, then the
+        # R-chained slab loop over the remaining (narrow) tiers
+        w_tail = widths[tail_t]
+        acc_x = g1.affine_acc_to_xyzz(ax[:w_tail], ay[:w_tail], occ[:w_tail])
+        pflags_x = pfl[:w_tail]
+        for t in range(tail_t, len(widths)):
+            w_t = widths[t]
+            if t + 1 < len(widths):
+                k_hi = count_r[widths[t + 1]]
+            else:
+                k_hi = count_r[0]
+            lane_t = jnp.arange(w_t, dtype=jnp.int32)
+
+            def slab_of(i, w_t=w_t, k_lo=k_lo, lane_t=lane_t):
+                k = k_lo + i * r_steps
+                slabs, vm = [], jnp.zeros((w_t,), jnp.uint32)
+                for r_i in range(r_steps):
+                    kk = k + r_i
+                    slabs.append(
+                        jax.lax.dynamic_slice(rows2, (off_of(kk), 0), (w_t, N_LIMBS))
+                    )
+                    vm = vm | ((lane_t < m_of(kk)).astype(jnp.uint32) << r_i)
+                return jnp.stack(slabs, axis=1), vm
+
+            def step_x(i, carry, slab_of=slab_of):
+                acc_t, flags_t = carry
+                slabs, vm = slab_of(i)
+                return g1.madd_slab_xyzz(acc_t, slabs, vm, flags_t)
+
+            n_slabs = jnp.maximum(0, (k_hi - k_lo + r_steps - 1) // r_steps)
+            tier, tier_flags = jax.lax.fori_loop(
+                0, n_slabs, step_x, (acc_x[:w_t], pflags_x[:w_t])
+            )
+            upd = jax.lax.dynamic_update_slice_in_dim
+            acc_x = upd(acc_x, tier, 0, axis=0)
+            pflags_x = upd(pflags_x, tier_flags, 0, axis=0)
+            k_lo = k_lo + n_slabs * r_steps
+
+        tail_proj = g1.xyzz_to_projective(acc_x)
+        head_proj = g1.affine_acc_to_projective(
+            ax[w_tail:width], ay[w_tail:width], occ[w_tail:width]
+        )
+        buckets = jnp.concatenate([tail_proj, head_proj], axis=0)
+        poison = jnp.sum(pflags_x) + jnp.sum(pfl[w_tail:width])
+
+    buckets = buckets[lay["inv"]]
+    return buckets.reshape(n_win, b, 3, N_LIMBS)[:, 1:], poison
 
 
 def _bucket_accumulate_all(
@@ -664,7 +729,7 @@ def msm_to_host(
     if c is None:
         c = default_window_bits(points.shape[0])
     sums_dev, poison = msm_window_sums_checked(points, scalars_std, c, scheme)
-    if scheme == "xyzz" and int(poison) != 0:
+    if scheme != "complete" and int(poison) != 0:
         sums_dev, _ = msm_window_sums_checked(points, scalars_std, c, "complete")
     sums = G1_JNP.decode(sums_dev)
     acc = G1.identity()
@@ -673,6 +738,70 @@ def msm_to_host(
             acc = acc.double()
         acc = acc.add(w_sum)
     return acc
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def msm_many_window_sums_checked(
+    points: jnp.ndarray, scalars_stack: jnp.ndarray, c: int, scheme: str = "complete"
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """k MSMs over SHARED points as ONE bucket accumulation.
+
+    scalars_stack (k, n, 16) standard form; the k polys' windows are
+    flattened into one k*W-window pass (the sorted scheme is generic over
+    the window count), so a whole commit round costs one sort + one slab
+    loop + one reduce instead of k dispatch chains — the batching the
+    reference gets from rayon'ing independent commits (SURVEY.md §2.2 X7).
+    Returns (sums (k, W, 3, 16), poison).
+    """
+    k, n, _ = scalars_stack.shape
+    g1 = G1_JNP
+    ids, negs = signed_digits(scalars_stack, c)  # (W, k, n)
+    n_win = ids.shape[0]
+    ids = jnp.moveaxis(ids, 1, 0).reshape(k * n_win, n)
+    negs = jnp.moveaxis(negs, 1, 0).reshape(k * n_win, n)
+    if scheme_used(n * k, c, scheme) != "gather":
+        if scheme == "affine":
+            buckets, poison = _bucket_accumulate_sorted_affine(g1, points, ids, negs, c)
+        else:
+            buckets, poison = _bucket_accumulate_sorted(
+                g1, points, ids, negs, c, xyzz=scheme == "xyzz"
+            )
+    else:
+        buckets, poison = _bucket_accumulate_all(g1, points, ids, negs, c), jnp.uint32(0)
+    sums = window_sums_of(buckets)  # (k*W, 3, 16)
+    return sums.reshape(k, n_win, 3, N_LIMBS), poison
+
+
+def msm_many_to_host(
+    points: jnp.ndarray,
+    scalars_stack: jnp.ndarray,
+    c: int | None = None,
+    scheme: str = "xyzz",
+) -> list:
+    """k MSMs over shared points -> k host G1 results (one device pass).
+
+    Same semantics as k calls of ``msm_to_host`` (poison-checked fast
+    kernel, exact complete-kernel fallback, host Horner combine) at the
+    dispatch cost of one."""
+    from ..curve.host import G1
+
+    k = scalars_stack.shape[0]
+    if c is None:
+        c = default_window_bits(scalars_stack.shape[1])
+    sums_dev, poison = msm_many_window_sums_checked(points, scalars_stack, c, scheme)
+    if scheme != "complete" and int(poison) != 0:
+        sums_dev, _ = msm_many_window_sums_checked(points, scalars_stack, c, "complete")
+    flat = G1_JNP.decode(sums_dev)  # k*W points, poly-major
+    n_win = sums_dev.shape[1]
+    out = []
+    for j in range(k):
+        acc = G1.identity()
+        for w_sum in reversed(flat[j * n_win : (j + 1) * n_win]):
+            for _ in range(c):
+                acc = acc.double()
+            acc = acc.add(w_sum)
+        out.append(acc)
+    return out
 
 
 @functools.partial(jax.jit, static_argnums=(2,))

@@ -70,6 +70,9 @@ class DistributedNTT:
         self.plan2 = get_plan(self.log_n2)
         self.omega_m = FR.encode_scalar(self.omega)
         self.omega_inv_m = FR.encode_scalar(self.omega_inv)
+        # jitted transform cache: without it every forward()/inverse() call
+        # would wrap a fresh jax.jit and recompile the identical graph
+        self._jit_cache: dict[bool, object] = {}
 
     def _twiddle_rows(self, w_m, row_offset_pows, width):
         """(rows,16) base powers omega^{j2} -> (rows, width, 16) tables."""
@@ -84,6 +87,54 @@ class DistributedNTT:
         """Inverse of ``forward`` (consumes transposed order, returns
         row-major coefficients), including the 1/n scaling."""
         return self._transform(m_mat, inverse=True)
+
+    # -- coset transforms (quotient-stage requirement) ---------------------
+    #
+    # Same convention as ntt.jnp_ntt.NTTPlan: evaluate on g*H by scaling
+    # coefficient j with g^j before the forward pass (and g^{-j} after the
+    # inverse).  The scale tables live in the same (n1, n2) row-major layout
+    # as the coefficients, so the multiply is purely elementwise and keeps
+    # the row sharding (XLA inserts no collectives for it).
+
+    def _coset_tables(self):
+        if not hasattr(self, "_coset"):
+            g = Fr.generator
+            g_inv = pow(g, Fr.p - 2, Fr.p)
+            pows = powers_device(FR, FR.encode_scalar(g), self.n)
+            ipows = powers_device(FR, FR.encode_scalar(g_inv), self.n)
+            self._coset = (
+                pows.reshape(self.n1, self.n2, N_LIMBS),
+                ipows.reshape(self.n1, self.n2, N_LIMBS),
+            )
+        return self._coset
+
+    def coset_forward(self, x_mat: jnp.ndarray) -> jnp.ndarray:
+        """Forward transform on the coset g*H (transposed output order)."""
+        return self.forward(FR.mul(x_mat, self._coset_tables()[0]))
+
+    def coset_inverse(self, m_mat: jnp.ndarray) -> jnp.ndarray:
+        """Inverse of ``coset_forward`` (row-major coefficients out)."""
+        return FR.mul(self.inverse(m_mat), self._coset_tables()[1])
+
+    def rot_transposed(self, m_mat: jnp.ndarray, r: int) -> jnp.ndarray:
+        """The evaluation-domain rotation X'[i] = X[i + r] applied directly
+        in the transposed (k1, k2) layout ``forward`` returns.
+
+        With i = k1 + n1*k2: rows shift by r with a carry into the column
+        axis where k1 + r wraps past n1 — two cheap rolls (the row roll is a
+        ppermute on the sharded axis, the column roll is local) + a static
+        row split.  Lets the quotient stage's rot(a, k) run without ever
+        materializing the natural order.
+        """
+        n1 = self.n1
+        r = r % self.n
+        r2, r1 = divmod(r, n1)  # i + r = (k1 + r1) + n1*(k2 + r2 [+1 on wrap])
+        base = jnp.roll(m_mat, -r2, axis=1) if r2 else m_mat
+        if r1 == 0:
+            return base
+        a = jnp.roll(base, -r1, axis=0)
+        b = jnp.roll(a, -1, axis=1)
+        return jnp.concatenate([a[: n1 - r1], b[n1 - r1 :]], axis=0)
 
     def _transform(self, x_mat: jnp.ndarray, inverse: bool) -> jnp.ndarray:
         d = self.d
@@ -151,7 +202,9 @@ class DistributedNTT:
 
         # No extra 1/n scaling here: the two local plan.inverse passes already
         # contribute 1/n1 * 1/n2 = 1/n.
-        return jax.jit(run)(x_mat)
+        if inverse not in self._jit_cache:
+            self._jit_cache[inverse] = jax.jit(run)
+        return self._jit_cache[inverse](x_mat)
 
 
 def _a2a_transpose(local: jnp.ndarray, d: int) -> jnp.ndarray:

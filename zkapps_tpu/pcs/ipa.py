@@ -103,6 +103,14 @@ def ipa_setup(log_n: int, seed: bytes = b"zkapps-tpu-ipa") -> IPAParams:
     return _PARAMS_CACHE[key]
 
 
+def _ipa_tree_sum(x: jnp.ndarray) -> jnp.ndarray:
+    """Field tree-reduce over axis 0 (length a power of two) -> (16,)."""
+    while x.shape[0] > 1:
+        half = x.shape[0] // 2
+        x = FR.add(x[:half], x[half : 2 * half])
+    return x[0]
+
+
 def _pad_coeffs(params: IPAParams, coeffs_mont: jnp.ndarray) -> jnp.ndarray:
     n = params.n
     assert coeffs_mont.shape[0] <= n
@@ -136,42 +144,50 @@ class IPA:
     ) -> int:
         """Write an opening argument for p(z) to the transcript; returns v.
 
+        All per-round folds (a, b, the running original-index factor s and
+        the masked L/R scalar vectors) are DEVICE field ops on (n,16) limb
+        arrays — the CPU reference's pointwise folds are O(n) host bigint
+        loops per round, unusable at prover scale.  Host work per round is
+        the transcript + two scalar decodes.
+
         ``blind_rng``: optional callable -> int for per-round L/R blinds
         (None = deterministic, zero blinds; commitment blind may still be
         nonzero)."""
+        from ..ntt.jnp_ntt import powers_device
+
         p = Fr.p
         params = self.params
         n = params.n
-        a_host = FR.decode(coeffs_mont)
-        a_host += [0] * (n - len(a_host))
-        b_host = [pow(z, i, p) for i in range(n)]
-        v = sum(ai * bi for ai, bi in zip(a_host, b_host)) % p
+        a = _pad_coeffs(params, coeffs_mont)  # (n,16) Montgomery
+        b = powers_device(FR, FR.encode_scalar(z), n)
+        v = FR.decode_scalar(_ipa_tree_sum(FR.mul(a, b)))
 
         transcript.common_scalar(v)
         xi = transcript.squeeze_challenge()
         u_prime = params.u.mul(xi)
 
-        # running per-original-index factor s_k; folded a, b
-        s_host = [1] * n
-        a = list(a_host)
-        b = list(b_host)
+        s = jnp.broadcast_to(FR.one_mont, (n, 16))
         f_blind = blind
         m = n
         while m > 1:
             h = m // 2
-            # masked original-basis scalars for L and R
-            w_l = [0] * n
-            w_r = [0] * n
-            for k in range(n):
-                i = k % m
-                if i < h:
-                    w_l[k] = s_host[k] * a[i + h] % p
-                else:
-                    w_r[k] = s_host[k] * a[i - h] % p
-            ip_l = sum(a[i + h] * b[i] for i in range(h)) % p
-            ip_r = sum(a[i] * b[i + h] for i in range(h)) % p
-            l_pt = self._msm_host_scalars(w_l).add(u_prime.mul(ip_l))
-            r_pt = self._msm_host_scalars(w_r).add(u_prime.mul(ip_r))
+            # masked original-basis scalars: w_l[k] = s_k * a[(k mod m) + h]
+            # for k mod m < h (w_r symmetric) — pure reshape/broadcast
+            s_mat = s.reshape(n // m, m, 16)
+            a_lo, a_hi = a[:h], a[h:m]
+            b_lo, b_hi = b[:h], b[h:m]
+            w_l = jnp.concatenate(
+                [FR.mul(s_mat[:, :h], a_hi[None]), jnp.zeros_like(s_mat[:, h:])],
+                axis=1,
+            ).reshape(n, 16)
+            w_r = jnp.concatenate(
+                [jnp.zeros_like(s_mat[:, :h]), FR.mul(s_mat[:, h:], a_lo[None])],
+                axis=1,
+            ).reshape(n, 16)
+            ip_l = FR.decode_scalar(_ipa_tree_sum(FR.mul(a_hi, b_lo)))
+            ip_r = FR.decode_scalar(_ipa_tree_sum(FR.mul(a_lo, b_hi)))
+            l_pt = self._msm_mont(w_l).add(u_prime.mul(ip_l))
+            r_pt = self._msm_mont(w_r).add(u_prime.mul(ip_r))
             if blind_rng is not None:
                 lb, rb = blind_rng() % p, blind_rng() % p
             else:
@@ -184,17 +200,22 @@ class IPA:
             transcript.write_point(r_pt)
             u_j = transcript.squeeze_challenge()
             u_inv = pow(u_j, p - 2, p)
-            a = [(a[i] + u_j * a[i + h]) % p for i in range(h)]
-            b = [(b[i] + u_inv * b[i + h]) % p for i in range(h)]
-            for k in range(n):
-                if k % m >= h:
-                    s_host[k] = s_host[k] * u_inv % p
+            u_m = FR.encode_scalar(u_j)[None]
+            u_inv_m = FR.encode_scalar(u_inv)[None]
+            a = FR.add(a_lo, FR.mul(u_m, a_hi))
+            b = FR.add(b_lo, FR.mul(u_inv_m, b_hi))
+            s = jnp.concatenate(
+                [s_mat[:, :h], FR.mul(s_mat[:, h:], u_inv_m)], axis=1
+            ).reshape(n, 16)
             f_blind = (f_blind + u_j * lb + u_inv * rb) % p
             m = h
 
-        transcript.write_scalar(a[0])
+        transcript.write_scalar(FR.decode_scalar(a[0]))
         transcript.write_scalar(f_blind)
         return v
+
+    def _msm_mont(self, scalars_mont: jnp.ndarray) -> G1:
+        return msm_to_host(self.params.g, FR.from_mont(scalars_mont))
 
     def _msm_host_scalars(self, scalars: list[int]) -> G1:
         arr = FR.encode(scalars, mont=False)
@@ -202,6 +223,8 @@ class IPA:
 
     # -- verify --------------------------------------------------------------
     def verify(self, transcript: Blake2bRead, commitment: G1, z: int, v: int) -> bool:
+        from ..ntt.jnp_ntt import powers_device
+
         p = Fr.p
         params = self.params
         n = params.n
@@ -225,15 +248,17 @@ class IPA:
         a0 = transcript.read_scalar()
         f_blind = transcript.read_scalar()
 
-        # s_k = prod_j u_j^{-bit}, round j splits on bit log_n-1-j of k
-        s = [1] * n
+        # s_k = prod_j u_j^{-bit}, round j splits on bit log_n-1-j of k —
+        # device: one masked multiply per round on the (n,16) limb array
+        s = jnp.broadcast_to(FR.one_mont, (n, 16))
+        idx = jnp.arange(n, dtype=jnp.uint32)
         for j, (_, u_inv) in enumerate(challenges):
             bit = params.log_n - 1 - j
-            for k in range(n):
-                if (k >> bit) & 1:
-                    s[k] = s[k] * u_inv % p
-        g0 = self._msm_host_scalars(s)
-        b0 = sum(s[k] * pow(z, k, p) for k in range(n)) % p
+            mask = ((idx >> bit) & 1) > 0
+            s = FR.select(mask, FR.mul(s, FR.encode_scalar(u_inv)[None]), s)
+        g0 = self._msm_mont(s)
+        zpows = powers_device(FR, FR.encode_scalar(z), n)
+        b0 = FR.decode_scalar(_ipa_tree_sum(FR.mul(s, zpows)))
 
         rhs = g0.mul(a0).add(u_prime.mul(a0 * b0 % p))
         if f_blind:
@@ -289,5 +314,64 @@ class IPA:
             if not self.verify(transcript, c_comb, z, y_comb):
                 return False
         return True
+
+
+class IPACommitter:
+    """Drop-in PCS for the PLONK pipeline (duck-type of pcs.kzg.KZG).
+
+    Selected via ``plonk.keygen(..., pcs="ipa")`` — the reference ships IPA
+    as a first-class commitment scheme inside halo2_proofs (`poly/ipa`,
+    SURVEY.md §2.2 X2).  Commitments are UNBLINDED Pedersen commits
+    (hiding comes from the PLONK layer's Z_H blinding of every
+    witness-carrying polynomial); openings use the GWC-style per-point
+    aggregation + one IPA argument per point.
+    """
+
+    def __init__(self, params: IPAParams):
+        self.params = params
+        self.ipa = IPA(params)
+        self.n = params.n
+        self.mesh = None
+
+    def set_mesh(self, mesh) -> None:
+        # point-axis sharding of the Pedersen MSMs is handled inside
+        # msm_to_host's kernels; mesh-parallel IPA rounds are future work
+        self.mesh = mesh
+
+    # -- commits ---------------------------------------------------------
+    def commit(self, coeffs_mont: jnp.ndarray) -> G1:
+        return self.ipa.commit(coeffs_mont)
+
+    def commit_many(self, coeffs_list: list) -> list[G1]:
+        from ..msm.jnp_msm import msm_many_to_host
+
+        if len(coeffs_list) == 1:
+            return [self.commit(coeffs_list[0])]
+        stack = jnp.stack([_pad_coeffs(self.params, c) for c in coeffs_list])
+        return msm_many_to_host(self.params.g, FR.from_mont(stack))
+
+    # -- evaluations (same fused batch as KZG) ---------------------------
+    def eval_poly(self, coeffs_mont: jnp.ndarray, z: int) -> int:
+        from .kzg import KZG
+
+        return KZG.eval_poly(self, coeffs_mont, z)
+
+    def eval_many(self, jobs: list) -> list[int]:
+        from .kzg import KZG
+
+        return KZG.eval_many(self, jobs)
+
+    @staticmethod
+    def _log_size(length: int, floor_log: int) -> int:
+        from .kzg import KZG
+
+        return KZG._log_size(length, floor_log)
+
+    # -- multiopen (GWC aggregation over IPA arguments) -------------------
+    def multiopen_prove(self, transcript, polys, queries) -> None:
+        self.ipa.multiopen_prove(transcript, polys, queries)
+
+    def multiopen_verify(self, transcript, commitments, queries) -> bool:
+        return self.ipa.multiopen_verify(transcript, commitments, queries)
 
 

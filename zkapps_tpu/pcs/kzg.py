@@ -118,6 +118,40 @@ class KZG:
         # Full domain power table [omega^i] for quotient denominators,
         # cached per domain size (blinded polys exceed degree n-1).
         self._domains: dict[int, jnp.ndarray] = {}
+        # When set (plonk.prove(mesh=...)), commits shard the point axis
+        # over the mesh via the bucket-exchange MSM (rayon-analog).
+        self.mesh = None
+
+    def set_mesh(self, mesh) -> None:
+        self.mesh = mesh
+
+    def _commit_mesh(self, coeffs_mont: jnp.ndarray) -> G1:
+        """Point-axis-sharded commit: bucket-exchange MSM over the mesh."""
+        import numpy as np
+
+        from ..msm.distributed import msm_bucket_exchange
+        from ..msm.jnp_msm import default_window_bits
+        from ..parallel.mesh import shard_leading
+
+        d = self.mesh.size
+        length = coeffs_mont.shape[0]
+        lp = -(-length // d) * d
+        scal = FR.from_mont(coeffs_mont)
+        pts = self.srs.g1_powers[:length]
+        if lp != length:
+            pts = jnp.concatenate(
+                [pts, G1_JNP.encode([G1.identity()] * (lp - length))], axis=0
+            )
+            scal = jnp.concatenate(
+                [scal, jnp.zeros((lp - length, scal.shape[1]), scal.dtype)], axis=0
+            )
+        out = msm_bucket_exchange(
+            self.mesh,
+            shard_leading(self.mesh, pts),
+            shard_leading(self.mesh, scal),
+            c=default_window_bits(lp),
+        )
+        return G1_JNP.decode(np.asarray(out)[None])[0]
 
     def _domain(self, log_m: int) -> jnp.ndarray:
         if log_m not in self._domains:
@@ -138,8 +172,64 @@ class KZG:
     # -- core ops --------------------------------------------------------
     def commit(self, coeffs_mont: jnp.ndarray) -> G1:
         """coeffs (n,16) Montgomery -> commitment point (host affine)."""
+        if self.mesh is not None:
+            return self._commit_mesh(coeffs_mont)
         scalars_std = FR.from_mont(coeffs_mont)
         return msm_to_host(self.srs.g1_powers[: coeffs_mont.shape[0]], scalars_std)
+
+    def commit_many(self, coeffs_list: list) -> list[G1]:
+        """Commit k polynomials in ONE device pass (msm_many_to_host).
+
+        A whole commit round (all advice columns, all grand products, all
+        quotient chunks) costs one sort + one bucket loop instead of k
+        dispatch chains — the dominant prove() cost on high-RTT links."""
+        if len(coeffs_list) == 1 or self.mesh is not None:
+            # mesh path: each commit is itself point-axis parallel over all
+            # devices (bucket exchange); batching across polys would shrink
+            # per-device work below the collective-latency floor
+            return [self.commit(c) for c in coeffs_list]
+        from ..msm.jnp_msm import msm_many_to_host
+
+        m = max(c.shape[0] for c in coeffs_list)
+
+        def padded(c):
+            if c.shape[0] == m:
+                return c
+            return jnp.concatenate(
+                [c, jnp.zeros((m - c.shape[0], c.shape[1]), dtype=c.dtype)], axis=0
+            )
+
+        stack = jnp.stack([padded(c) for c in coeffs_list])
+        return msm_many_to_host(self.srs.g1_powers[:m], FR.from_mont(stack))
+
+    def eval_many(self, jobs: list[tuple[jnp.ndarray, int]]) -> list[int]:
+        """Batched polynomial evaluations: [(coeffs, z)] -> [f(z)].
+
+        One stacked power-table dot + one tree reduction + ONE device->host
+        sync for the whole batch (vs ~15 dispatches AND a sync per job via
+        eval_poly — the single biggest prove() dispatch sink)."""
+        if not jobs:
+            return []
+        m = 1 << self._log_size(max(c.shape[0] for c, _ in jobs), 0)
+        zpow_cache: dict[int, jnp.ndarray] = {}
+        for _, z in jobs:
+            if z not in zpow_cache:
+                zpow_cache[z] = powers_device(FR, FR.encode_scalar(z), m)
+
+        def padded(c):
+            if c.shape[0] == m:
+                return c
+            return jnp.concatenate(
+                [c, jnp.zeros((m - c.shape[0], c.shape[1]), dtype=c.dtype)], axis=0
+            )
+
+        stack = jnp.stack([padded(c) for c, _ in jobs])  # (P, m, 16)
+        pows = jnp.stack([zpow_cache[z] for _, z in jobs])
+        prod = FR.mul(stack, pows)
+        while prod.shape[1] > 1:
+            half = prod.shape[1] // 2
+            prod = FR.add(prod[:, :half], prod[:, half : 2 * half])
+        return FR.decode(prod[:, 0])
 
     def eval_poly(self, coeffs_mont: jnp.ndarray, z: int) -> int:
         """f(z) via power-table dot + tree reduction (any length <= srs.n)."""
@@ -206,7 +296,7 @@ class KZG:
             pad = jnp.zeros((m - poly.shape[0], poly.shape[1]), dtype=poly.dtype)
             return jnp.concatenate([poly, pad], axis=0)
 
-        witnesses = []
+        quotients = []
         for z, opens in queries:
             # h = sum_i v^i * poly_i  (i = order within this point's list)
             m = max(polys[poly_idx].shape[0] for poly_idx, _ in opens)
@@ -218,9 +308,8 @@ class KZG:
                 h = term if h is None else FR.add(h, term)
                 y_comb = (y_comb + vi * y) % Fr.p
                 vi = vi * v % Fr.p
-            q = self.quotient(h, z, y_comb)
-            witnesses.append(self.commit(q))
-        for w in witnesses:
+            quotients.append(self.quotient(h, z, y_comb))
+        for w in self.commit_many(quotients):
             transcript.write_point(w)
 
     def multiopen_verify(

@@ -186,10 +186,22 @@ class _UnionFind:
 
 
 def keygen(
-    ctx: Context, srs: SRS, log_n: int | None = None, multiopen: str = "gwc"
+    ctx: Context,
+    srs: SRS | None,
+    log_n: int | None = None,
+    multiopen: str = "gwc",
+    pcs: str = "kzg",
 ) -> PlonkPK:
-    """Build pk/vk from a populated Context (layout only is used)."""
+    """Build pk/vk from a populated Context (layout only is used).
+
+    pcs selects the commitment scheme: "kzg" (ParamsKZG analog, needs the
+    SRS) or "ipa" (transparent Pedersen basis + inner-product argument,
+    halo2_proofs poly/ipa analog; srs may be None, multiopen must be "gwc"
+    — the IPA layer aggregates per point)."""
     assert multiopen in ("gwc", "shplonk")
+    assert pcs in ("kzg", "ipa")
+    if pcs == "ipa":
+        assert multiopen == "gwc", "IPA multiopen uses per-point GWC aggregation"
     layout = CircuitLayout.of(ctx)
     # rotation margin: 4-row flat gate window; Poseidon row-pair needs +1 and
     # the chunked permutation keeps the last row copy-free.
@@ -202,7 +214,8 @@ def keygen(
         log_n = max(3, (min_n - 1).bit_length())
     n = 1 << log_n
     assert min_n <= n, f"circuit needs {min_n} rows, domain has {n}"
-    assert n <= srs.n, "SRS too small for this circuit"
+    if pcs == "kzg":
+        assert n <= srs.n, "SRS too small for this circuit"
 
     # -- fixed selector / constant vectors -------------------------------
     fixed: dict[str, np.ndarray] = {
@@ -284,7 +297,13 @@ def keygen(
         sigma_vals.append(enc(sigma[c * n : (c + 1) * n]))
         coeffs[f"sigma{c}"] = plan.inverse(sigma_vals[c])
 
-    kzg = KZG(srs, log_n)
+    if pcs == "ipa":
+        from ..pcs.ipa import IPACommitter, ipa_setup
+
+        # basis must cover blinded polys (n + #openings + 1 coefficients)
+        kzg = IPACommitter(ipa_setup(log_n + 1))
+    else:
+        kzg = KZG(srs, log_n)
     commitments = {name: kzg.commit(c) for name, c in coeffs.items()}
     vk = PlonkVK(
         log_n=log_n,

@@ -143,7 +143,62 @@ def _blind_zh(coeffs: jnp.ndarray, blinds_m: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([head, coeffs[k:], blinds_m], axis=0)
 
 
-def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False, rng=None) -> bytes:
+_INTT_JIT_CACHE: dict = {}
+
+
+def _intt_many(plan, mesh, stack: jnp.ndarray) -> jnp.ndarray:
+    """Batched first-round INTTs; with a mesh, polys shard over devices and
+    transform locally (the reference's rayon-per-column analog)."""
+    if mesh is None:
+        return plan.inverse_many(stack)
+    import functools
+
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import AXIS
+
+    k = stack.shape[0]
+    d = mesh.size
+    pad = (-k) % d
+    if pad:
+        stack = jnp.concatenate(
+            [stack, jnp.zeros((pad,) + stack.shape[1:], stack.dtype)], axis=0
+        )
+
+    key = (id(plan), id(mesh))
+    if key not in _INTT_JIT_CACHE:
+
+        @functools.partial(
+            shard_map, mesh=mesh, in_specs=P(AXIS), out_specs=P(AXIS), check_vma=False
+        )
+        def run(local):
+            import jax as _j
+
+            return _j.vmap(plan.inverse)(local)
+
+        _INTT_JIT_CACHE[key] = jax.jit(run)
+    return _INTT_JIT_CACHE[key](stack)[:k]
+
+
+def prove(
+    pk: PlonkPK, ctx: Context, debug_checks: bool = False, rng=None, mesh=None
+) -> bytes:
+    """Produce a proof; with ``mesh`` the heavy stages shard over the device
+    mesh: commit MSMs bucket-exchange over the point axis, first-round INTTs
+    over the poly axis, and the quotient stage through the four-step
+    DistributedNTT (coset transforms + pointwise constraints in the
+    transposed layout) — the TPU-native analog of the reference's
+    rayon-parallel prover (SURVEY.md §2.2 X7, §2.3)."""
+    pk.kzg.set_mesh(mesh)
+    try:
+        return _prove_impl(pk, ctx, debug_checks, rng, mesh)
+    finally:
+        pk.kzg.set_mesh(None)
+
+
+def _prove_impl(pk: PlonkPK, ctx: Context, debug_checks: bool, rng, mesh) -> bytes:
     t0 = [time.time()]
     vk = pk.vk
     n, log_n = pk.n, pk.log_n
@@ -193,16 +248,16 @@ def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False, rng=None) -> by
     # ~60 dispatches each, which dominates proving on high-RTT device links.
     col_coeffs: dict[str, jnp.ndarray] = {}
     open_counts = {name: len(pts) for name, pts in opening_plan(vk)}
-    inv_stack = plan.inverse_many(
-        jnp.stack([col_vals[name] for name in vk.advice_names] + [pi_vals])
+    inv_stack = _intt_many(
+        plan, mesh, jnp.stack([col_vals[name] for name in vk.advice_names] + [pi_vals])
     )
     pi_coeffs = inv_stack[-1]  # public: never blinded
     for k, name in enumerate(vk.advice_names):
         blinds = _rand_frs(open_counts[name] + 1, rng)
         col_coeffs[name] = _blind_zh(inv_stack[k], blinds)
     _mark("encode+intt", t0)
-    for name in vk.advice_names:
-        transcript.write_point(pk.kzg.commit(col_coeffs[name]))
+    for pt in pk.kzg.commit_many([col_coeffs[name] for name in vk.advice_names]):
+        transcript.write_point(pt)
     _mark("commit advice", t0)
 
     beta = transcript.squeeze_challenge()
@@ -272,18 +327,19 @@ def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False, rng=None) -> by
 
     # one batched INTT for all grand-product and lookup running-sum columns;
     # commits keep the transcript order z0..zk, zl_t...
-    z_inv_stack = plan.inverse_many(jnp.stack(z_vals_list + zl_vals_list))
+    z_inv_stack = _intt_many(plan, mesh, jnp.stack(z_vals_list + zl_vals_list))
     z_coeffs_list = []
     for k in range(len(z_vals_list)):
         blinds = _rand_frs(open_counts[f"z{k}"] + 1, rng)
-        z_coeffs = _blind_zh(z_inv_stack[k], blinds)
-        z_coeffs_list.append(z_coeffs)
-        transcript.write_point(pk.kzg.commit(z_coeffs))
+        z_coeffs_list.append(_blind_zh(z_inv_stack[k], blinds))
     zl_coeffs: dict[str, jnp.ndarray] = {}
     for j, t in enumerate(vk.lookups):
         blinds = _rand_frs(open_counts[f"zl_{t}"] + 1, rng)
         zl_coeffs[t] = _blind_zh(z_inv_stack[len(z_vals_list) + j], blinds)
-        transcript.write_point(pk.kzg.commit(zl_coeffs[t]))
+    for pt in pk.kzg.commit_many(
+        z_coeffs_list + [zl_coeffs[t] for t in vk.lookups]
+    ):
+        transcript.write_point(pt)
     _mark("commit Z", t0)
 
     y = transcript.squeeze_challenge()
@@ -297,9 +353,6 @@ def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False, rng=None) -> by
 
     step = m_ext // n  # omega = omega_ext^step
 
-    def rot(arr, k: int):
-        return jnp.roll(arr, -step * k, axis=0)
-
     # ALL coset extensions in one batched transform (one dispatch instead of
     # ~60 per polynomial; see ntt.jnp_ntt coset_forward_many)
     coset_jobs: list[tuple[str, jnp.ndarray]] = []
@@ -311,10 +364,42 @@ def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False, rng=None) -> by
     ]
     coset_jobs += [(f"sig:{c}", pk.coeffs[f"sigma{c}"]) for c in range(vk.num_cols)]
     coset_jobs += [(f"zl:{t}", zl_coeffs[t]) for t in vk.lookups]
-    coset_stack = ext_plan.coset_forward_many(
-        jnp.stack([pad_ext(arr) for _, arr in coset_jobs])
-    )
-    by_key = {key: coset_stack[i] for i, (key, _) in enumerate(coset_jobs)}
+    if mesh is None:
+        dntt = None
+
+        def rot(arr, k: int):
+            return jnp.roll(arr, -step * k, axis=0)
+
+        def to_layout(flat_evals: jnp.ndarray) -> jnp.ndarray:
+            return flat_evals
+
+        coset_stack = ext_plan.coset_forward_many(
+            jnp.stack([pad_ext(arr) for _, arr in coset_jobs])
+        )
+        by_key = {key: coset_stack[i] for i, (key, _) in enumerate(coset_jobs)}
+    else:
+        # four-step distributed coset NTTs; pointwise constraint evaluation
+        # runs directly in the transposed (k1, k2) layout (everything is
+        # elementwise except rot, which DistributedNTT.rot_transposed maps)
+        from ..ntt.distributed import DistributedNTT
+        from ..parallel.mesh import shard_leading
+
+        dntt = DistributedNTT(mesh, ext_log)
+
+        def rot(arr, k: int):
+            return dntt.rot_transposed(arr, step * k)
+
+        def to_layout(flat_evals: jnp.ndarray) -> jnp.ndarray:
+            # natural-order (m,16) evals -> transposed row-sharded (n1,n2,16)
+            t = flat_evals.reshape(dntt.n2, dntt.n1, flat_evals.shape[-1])
+            return shard_leading(mesh, jnp.transpose(t, (1, 0, 2)))
+
+        by_key = {}
+        for key, arr in coset_jobs:
+            x_mat = shard_leading(
+                mesh, pad_ext(arr).reshape(dntt.n1, dntt.n2, arr.shape[-1])
+            )
+            by_key[key] = dntt.coset_forward(x_mat)
     col_x = {name: by_key[f"col:{name}"] for name in vk.advice_names}
     pi_x = by_key["pi"]
     z_x = [by_key[f"z:{k}"] for k in range(len(z_coeffs_list))]
@@ -324,6 +409,11 @@ def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False, rng=None) -> by
         if not name.startswith("sigma")
     }
     sig_x = [by_key[f"sig:{c}"] for c in range(vk.num_cols)]
+
+    l0_c = to_layout(pk.l0_coset)
+    llast_c = to_layout(pk.llast_coset)
+    xid_c = to_layout(pk.x_coset)
+    zh_inv_c = to_layout(pk.zh_inv_coset)
 
     def col_coset_of(c: int) -> jnp.ndarray:
         if c == vk.num_cols - 1:
@@ -382,13 +472,13 @@ def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False, rng=None) -> by
                 FR.sub(FR.mul(m_x, b_lk), b_t),
             )
         )
-        constraints.append(FR.mul(pk.l0_coset, zl_x[t]))
+        constraints.append(FR.mul(l0_c, zl_x[t]))
 
     # permutation constraints
     delta_pows = [pow(DELTA, c, P) for c in range(vk.num_cols)]
 
     def id_coset_of(c: int) -> jnp.ndarray:
-        return FR.mul(pk.x_coset, FR.encode_scalar(delta_pows[c])[None])
+        return FR.mul(xid_c, FR.encode_scalar(delta_pows[c])[None])
 
     one_b = FR.one_mont[None]
     if single_chunk:
@@ -399,9 +489,9 @@ def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False, rng=None) -> by
             lhs = FR.mul(lhs, blend(ev, sig_x[c]))
             rhs = FR.mul(rhs, blend(ev, id_coset_of(c)))
         constraints.append(FR.sub(lhs, rhs))
-        constraints.append(FR.mul(pk.l0_coset, FR.sub(z_x[0], one_b)))
+        constraints.append(FR.mul(l0_c, FR.sub(z_x[0], one_b)))
     else:
-        one_minus_llast = FR.sub(one_b, pk.llast_coset)
+        one_minus_llast = FR.sub(one_b, llast_c)
         for k, chunk in enumerate(vk.chunks):
             lhs = rot(z_x[k], 1)
             rhs = z_x[k]
@@ -414,15 +504,18 @@ def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False, rng=None) -> by
         # chunk link: z_{k+1}(1) = z_k(w^{n-1})
         for k in range(1, len(vk.chunks)):
             constraints.append(
-                FR.mul(pk.l0_coset, FR.sub(z_x[k], rot(z_x[k - 1], n - 1)))
+                FR.mul(l0_c, FR.sub(z_x[k], rot(z_x[k - 1], n - 1)))
             )
-        constraints.append(FR.mul(pk.llast_coset, FR.sub(z_x[-1], one_b)))
+        constraints.append(FR.mul(llast_c, FR.sub(z_x[-1], one_b)))
 
     combined = constraints[0]
     for c in constraints[1:]:
         combined = FR.add(FR.mul(combined, y_m), c)
-    h_evals = FR.mul(combined, pk.zh_inv_coset)
-    h_coeffs = ext_plan.coset_inverse_many(h_evals[None])[0]
+    h_evals = FR.mul(combined, zh_inv_c)
+    if mesh is None:
+        h_coeffs = ext_plan.coset_inverse_many(h_evals[None])[0]
+    else:
+        h_coeffs = dntt.coset_inverse(h_evals).reshape(m_ext, -1)
     _mark("quotient", t0)
     n_h = vk.num_h_chunks
     if debug_checks:
@@ -441,8 +534,8 @@ def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False, rng=None) -> by
         if i < n_h - 1:
             chunk = jnp.concatenate([chunk, u[i : i + 1]], axis=0)
         h_chunks.append(chunk)
-    for h in h_chunks:
-        transcript.write_point(pk.kzg.commit(h))
+    for pt in pk.kzg.commit_many(h_chunks):
+        transcript.write_point(pt)
     _mark("commit H", t0)
 
     x = transcript.squeeze_challenge()
@@ -460,11 +553,16 @@ def prove(pk: PlonkPK, ctx: Context, debug_checks: bool = False, rng=None) -> by
     for name, c in pk.coeffs.items():
         polys[name] = c
 
-    evals: dict[tuple[str, str], int] = {}
+    jobs, keys = [], []
     for name, pnames in opening_plan(vk):
         for pn in pnames:
-            evals[(name, pn)] = pk.kzg.eval_poly(polys[name], pts[pn])
-            transcript.write_scalar(evals[(name, pn)])
+            jobs.append((polys[name], pts[pn]))
+            keys.append((name, pn))
+    vals = pk.kzg.eval_many(jobs)  # one fused dot+reduce, ONE host sync
+    evals: dict[tuple[str, str], int] = {}
+    for (name, pn), v in zip(keys, vals):
+        evals[(name, pn)] = v
+        transcript.write_scalar(v)
     _mark("evals", t0)
 
     # -- multiopen --------------------------------------------------------

@@ -1,4 +1,6 @@
+from .protocol import AccountModel, AccountLike, CircuitAccountLike, OpVec
 from .shielder import (
+    SHIELDER_MODEL,
     CircuitAccount,
     CircuitNote,
     MerkleProofWitness,
@@ -13,6 +15,11 @@ from .shielder import (
 )
 
 __all__ = [
+    "AccountModel",
+    "AccountLike",
+    "CircuitAccountLike",
+    "OpVec",
+    "SHIELDER_MODEL",
     "CircuitNote",
     "CircuitAccount",
     "ShielderAccount",

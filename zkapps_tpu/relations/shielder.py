@@ -184,10 +184,10 @@ class CircuitAccount:
 def verify_account_circuit(
     gate: GateChip,
     poseidon: PoseidonGadget,
-    account: CircuitAccount,
+    account,
     account_hash: AssignedValue,
 ) -> None:
-    """update_account.rs:52-65."""
+    """update_account.rs:52-65 (generic over CircuitAccountLike)."""
     inner = poseidon.hash_fix_len_array(account.to_vec())
     eq = gate.is_equal(account_hash, inner)
     gate.assert_is_const(eq, 1)
@@ -199,9 +199,10 @@ def update_account_circuit(
     old_account_hash: AssignedValue,
     new_account_hash: AssignedValue,
     op_cells: list[AssignedValue],
-    old_account: CircuitAccount,
+    old_account,
 ) -> None:
-    """update_account.rs:68-94."""
+    """update_account.rs:68-94 — generic over CircuitAccountLike (the
+    account.rs:17-21 extension point): any object with update/to_vec."""
     verify_account_circuit(gate, poseidon, old_account, old_account_hash)
     new_account = old_account.update(gate, op_cells)
     verify_account_circuit(gate, poseidon, new_account, new_account_hash)
@@ -254,18 +255,44 @@ class LoadedMerkleProof:
 # ---------------------------------------------------------------------------
 
 
+def _shielder_combine(gate: GateChip, op_priv_cells, op_pub_cells):
+    """Operation::combine for the Shielder family (operation.rs combine +
+    mocked ops.rs: the private user must equal the public user; kind must be
+    a bit).  Returns op_pub as the combined op driving the account update."""
+    gate.assert_bit(op_pub_cells[0])
+    eq_user = gate.is_equal(op_priv_cells[0], op_pub_cells[3])
+    gate.assert_is_const(eq_user, 1)
+    return op_pub_cells
+
+
+def _shielder_model():
+    from .protocol import AccountModel
+
+    return AccountModel(load=CircuitAccount.load, circuit_combine=_shielder_combine)
+
+
+SHIELDER_MODEL = _shielder_model()
+
+
 def build_update_note_circuit(
-    op_pub: ShielderOpPub,
+    op_pub,
     new_note_hash: int,
     merkle_root: int,
     new_note: tuple[int, int, int, int],
     old_note: tuple[int, int, int, int],
     merkle_proof: MerkleProofWitness,
-    op_priv: ShielderOpPriv,
-    old_account: ShielderAccount,
+    op_priv,
+    old_account,
     poseidon_gate: bool = True,
+    model=None,
 ) -> Context:
     """Builds the full deposit/withdraw relation circuit with its witness.
+
+    GENERIC over the account family (relations/protocol.AccountModel — the
+    account.rs:8-21 / operation.rs:3-23 extension traits): ``model``
+    supplies the account load and operation combine; defaults to the
+    concrete 2-token SHIELDER_MODEL.  ``op_pub``/``op_priv``/``old_account``
+    are whatever the model's family uses (anything with ``to_vec``).
 
     Returns the populated Context; ctx.publics is the public-input vector in
     the reference's order: [op_pub..., new_note_hash, merkle_root,
@@ -275,6 +302,8 @@ def build_update_note_circuit(
     degree-6 custom gate (65 rows each vs ~7.5k flat rows — a 2^12 domain
     instead of 2^18); False keeps the pure flat-gate lowering.
     """
+    if model is None:
+        model = SHIELDER_MODEL
     ctx = Context(poseidon_gate=poseidon_gate)
     gate = GateChip(ctx)
     poseidon = PoseidonGadget(ctx, gate)
@@ -287,7 +316,7 @@ def build_update_note_circuit(
     old_note_c = CircuitNote.load(ctx, *old_note)
     merkle_proof_c = LoadedMerkleProof.load(ctx, merkle_proof)
     op_priv_cells = [ctx.load_witness(v) for v in op_priv.to_vec()]
-    old_account_c = CircuitAccount.load(ctx, old_account)
+    old_account_c = model.load(ctx, old_account)
 
     # Expose publics in the canonical order.
     for c in op_pub_cells:
@@ -296,9 +325,6 @@ def build_update_note_circuit(
     ctx.make_public(merkle_root_c)
     ctx.make_public(old_note_c.nullifier)
 
-    # Constrain kind to a bit (deposit/withdraw only).
-    gate.assert_bit(op_pub_cells[0])
-
     # 1. New note hashes correctly.
     verify_note_circuit(gate, poseidon, new_note_c, new_note_hash_c)
 
@@ -306,9 +332,8 @@ def build_update_note_circuit(
     old_note_hash = poseidon.hash_fix_len_array(old_note_c.to_vec())
     verify_merkle_proof_circuit(gate, poseidon, merkle_proof_c, merkle_root_c, old_note_hash)
 
-    # 3. Combine op_priv with op_pub (operation.rs combine): same user.
-    eq_user = gate.is_equal(op_priv_cells[0], op_pub_cells[3])
-    gate.assert_is_const(eq_user, 1)
+    # 3. Combine op_priv with op_pub (Operation::combine, model-specific).
+    op_cells = model.circuit_combine(gate, op_priv_cells, op_pub_cells)
 
     # 4. Account update between the two note account-hashes.
     update_account_circuit(
@@ -316,7 +341,7 @@ def build_update_note_circuit(
         poseidon,
         old_note_c.account_hash,
         new_note_c.account_hash,
-        op_pub_cells,
+        list(op_cells),
         old_account_c,
     )
     return ctx
