@@ -126,3 +126,26 @@ def test_regression_goldens():
         path.write_text(json.dumps({k: hex(v) for k, v in golden.items()}, indent=1))
     pinned = {k: int(v, 16) for k, v in json.loads(path.read_text()).items()}
     assert pinned == golden
+
+
+def test_regression_goldens_full():
+    """Wide golden sweep: ALL 64x5 round constants, the full 5x5 MDS, one
+    full permutation output, and 12 sponge vectors of lengths 1..31.
+
+    A systematically-wrong Grain variant (wrong field-tag bits, wrong
+    rejection-sampling width, transposed MDS) passes a 5-value spot check
+    but cannot pass 320 pinned constants plus multi-rate sponge digests."""
+    import json, pathlib
+
+    from zkapps_tpu.hash import permute_host
+
+    rc, mds = poseidon_constants()
+    path = pathlib.Path(__file__).parent / "goldens" / "poseidon_full.json"
+    g = json.loads(path.read_text())
+    assert [[int(c, 16) for c in row] for row in g["rc"]] == [list(r) for r in rc]
+    assert [[int(c, 16) for c in row] for row in g["mds"]] == [list(r) for r in mds]
+    assert [int(x, 16) for x in g["permute_12345"]] == permute_host([1, 2, 3, 4, 5])
+    for L, vec in g["sponge"].items():
+        inputs = [int(x, 16) for x in vec["inputs"]]
+        assert len(inputs) == int(L)
+        assert hash_host(inputs) == int(vec["digest"], 16), f"L={L}"
