@@ -37,11 +37,17 @@ import jax.numpy as jnp
 
 _TIMING = os.environ.get("ZKTPU_TIMING") == "1"
 
+from ..metrics import METRICS as _METRICS
+
 
 def _mark(label: str, t0: list):
-    if _TIMING:
+    """Stage boundary: stderr timing line (ZKTPU_TIMING) + structured record
+    (metrics.METRICS, emitted as JSON lines under ZKTPU_METRICS)."""
+    if _TIMING or _METRICS.enabled:
         now = time.time()
-        print(f"  prove[{label}] +{now - t0[0]:.1f}s", file=sys.stderr, flush=True)
+        _METRICS.record(f"prove.{label}", now - t0[0])
+        if _TIMING:
+            print(f"  prove[{label}] +{now - t0[0]:.1f}s", file=sys.stderr, flush=True)
         t0[0] = now
 
 
