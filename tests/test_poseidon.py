@@ -102,6 +102,23 @@ def test_hash2_matches_fixed():
     assert FR.decode(out) == want
 
 
+def test_mxu_mix_matches_host():
+    """The s8 nibble-matmul MDS path is bit-identical to the mul/add path."""
+    from zkapps_tpu.hash.poseidon import PoseidonDevice
+
+    pos = PoseidonDevice(FR, mxu=True)
+    states = [[random.randrange(Fr.p) for _ in range(5)] for _ in range(3)]
+    arr = jnp.stack([FR.encode(s) for s in states])
+    out = jax.jit(pos.permute)(arr)
+    got = FR.decode(out.reshape(-1, 16))
+    want = [x for s in states for x in permute_host(s)]
+    assert got == want
+    # sponge through the same object
+    batch = [[random.randrange(Fr.p) for _ in range(4)] for _ in range(2)]
+    d = jax.jit(pos.hash_fixed)(jnp.stack([FR.encode(r) for r in batch]))
+    assert FR.decode(d) == [hash_host(r) for r in batch]
+
+
 def test_regression_goldens():
     """Lock the generated constants + digests against accidental drift.
 

@@ -103,6 +103,7 @@ class LimbField:
         self._sub_jit = jax.jit(self._sub_impl, static_argnums=(2,))
         self._pow_jit = jax.jit(self._pow_impl, static_argnums=(1, 2, 3))
         self._batch_inv_jit = jax.jit(self._batch_inv_impl, static_argnums=(1, 2))
+        self._redc_cols_jit = jax.jit(self._redc_cols_impl, static_argnums=(1,))
 
     # ------------------------------------------------------------------
     # host <-> device encoding
@@ -244,6 +245,69 @@ class LimbField:
 
     def square(self, a: jnp.ndarray) -> jnp.ndarray:
         return self.mul(a, a)
+
+    def mont_reduce_columns(self, cols: jnp.ndarray) -> jnp.ndarray:
+        """Montgomery-reduce 2N_LIMBS lazy product columns -> canonical limbs.
+
+        ``cols`` (…, 32) uint32: column k holds the base-2^16 coefficient of a
+        double-width integer X = sum_k cols[k]*2^(16k).  Caller contract:
+        cols[k] < 2^30 and X < p*R (REDC then yields < 2p, which the final
+        conditional subtract canonicalizes).  For BN254 Fr (p ~ 0.177*R) any
+        sum of <= 5 Montgomery products of canonical operands qualifies —
+        exactly the T=5 Poseidon MDS row products of the MXU nibble-matmul
+        path (hash/poseidon.py).  Returns X*R^{-1} mod p in [0, p): the REDC
+        loop of _mul_impl with the a_i*b partial products replaced by the
+        precomputed columns.
+        """
+        return self._redc_cols_jit(cols, _UNROLL)
+
+    def _redc_cols_impl(self, cols, unroll: bool) -> jnp.ndarray:
+        p = self.p_limbs
+        n0 = self._n0inv_dev
+        w = 2 * N_LIMBS + 1
+        t0 = jnp.concatenate(
+            [cols, jnp.zeros(cols.shape[:-1] + (1,), jnp.uint32)], axis=-1
+        )
+
+        def iter_body(t):
+            m = ((t[..., 0] & _MASK) * n0) & _MASK
+            mp = m[..., None] * p
+            t = t.at[..., 0:N_LIMBS].add(mp & _MASK)
+            t = t.at[..., 1 : N_LIMBS + 1].add(mp >> _SHIFT)
+            carry0 = t[..., 0] >> _SHIFT
+            t = jnp.concatenate([t[..., 1:], jnp.zeros_like(t[..., :1])], axis=-1)
+            return t.at[..., 0].add(carry0)
+
+        if unroll:
+            t = t0
+            for _ in range(N_LIMBS):
+                t = iter_body(t)
+            carry = jnp.zeros_like(t[..., 0])
+            limbs = []
+            for j in range(N_LIMBS):
+                s = t[..., j] + carry
+                limbs.append(s & _MASK)
+                carry = s >> _SHIFT
+            out = jnp.stack(limbs, axis=-1)
+            top = t[..., N_LIMBS] + carry
+            return self._cond_sub_p(out, top, True)
+
+        t = jax.lax.fori_loop(0, N_LIMBS, lambda _, t: iter_body(t), t0)
+
+        def norm_body(j, state):
+            carry, out = state
+            s = jnp.take(t, j, axis=-1) + carry
+            out = jax.lax.dynamic_update_index_in_dim(out, s & _MASK, j, axis=-1)
+            return (s >> _SHIFT, out)
+
+        carry, out = jax.lax.fori_loop(
+            0,
+            N_LIMBS,
+            norm_body,
+            (jnp.zeros_like(t[..., 0]), jnp.zeros(cols.shape[:-1] + (N_LIMBS,), jnp.uint32)),
+        )
+        top = t[..., N_LIMBS] + carry
+        return self._cond_sub_p(out, top, False)
 
     def add(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         return self._add_jit(a, b, _UNROLL)

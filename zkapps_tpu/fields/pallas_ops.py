@@ -20,6 +20,7 @@ trace time; the (16,1) p column is a kernel input.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -866,14 +867,18 @@ def pdbl_pallas(pts: jnp.ndarray, p: int, n0inv: int, tile: int, interpret: bool
 # arithmetic runs over the lazy [0, 2p) domain.
 # ---------------------------------------------------------------------------
 
-AFFINE_TILE = 8192
+AFFINE_TILE = int(os.environ.get("ZKTPU_AFFINE_TILE", "8192"))
 # Chains span AFFINE_G chunks of width tile/AFFINE_G.  G trades chain-link
 # WIDTH against batch-inverse width: G=64 (128-lane links) measured ~4x
 # worse than modeled — a (16,128) mul is only 2 VPU issues and the chain is
-# serially dependent, so the pipeline drains between ops.  G=16 gives
-# 512-lane links (8 issues/op) at the cost of 4x more chain products into
-# the phase-2 inverse (tree-reduced there, ~3 muls/product amortized).
-AFFINE_G = 16
+# serially dependent, so the pipeline drains between ops.  Smaller G widens
+# the links toward throughput-bound (at G=4 a link is 2048 lanes = 32
+# vregs/op) at the cost of more chain products into the phase-2 inverse
+# (tree-reduced there — wide, parallel levels — so the growth is cheap).
+# Env-tunable for pipeline-level A/B on real hardware (the axon tunnel
+# elides repeated microbench dispatches, so only end-to-end timing is
+# trustworthy; see NOTES.md "Measurement hygiene").
+AFFINE_G = int(os.environ.get("ZKTPU_AFFINE_G", "16"))
 AFFINE_FERMAT_W = 128  # phase-2 tree reduces to this width before the pow
 
 

@@ -126,10 +126,17 @@ def hash_host(inputs: list[int], p: int = FR_MODULUS) -> int:
 
 
 class PoseidonDevice:
-    """Vectorized Poseidon over (B, ...) batches of Fr limb vectors."""
+    """Vectorized Poseidon over (B, ...) batches of Fr limb vectors.
 
-    def __init__(self, field: LimbField = FR):
+    ``mxu=True`` routes the MDS layer through one s8 nibble matmul per round
+    (the TPU systolic array) instead of T*T batched limb multiplies — see
+    ``_mix_mxu``.  Bit-identical output; ~T*T muls -> ~T/2 mul-equivalents
+    of VPU work per round plus one small MXU matmul.
+    """
+
+    def __init__(self, field: LimbField = FR, mxu: bool = False):
         self.f = field
+        self.mxu = mxu
         p = field.p
         rc, mds = poseidon_constants(p)
         to_mont = lambda v: v * field.r % p  # noqa: E731
@@ -145,6 +152,55 @@ class PoseidonDevice:
         )
         self.capacity = field.encode_scalar(CAPACITY_TAG)  # (16,)
         self.pad_one = field.encode_scalar(PADDING)
+        if mxu:
+            self._mds_nib = self._build_mds_nibble_matrix(mds, field)
+
+    # -- MXU MDS path ---------------------------------------------------
+    # The MDS layer out[i] = sum_j mds[i][j]*s[j] is a SHARED linear map —
+    # the one place in this codebase where the systolic array pays for
+    # bignum work (pairwise field muls don't map to it; NOTES.md).  The
+    # 256-bit integers are decomposed into 64 base-16 nibbles; the double-
+    # width integer product sum then becomes ONE (B, T*64) @ (T*64, T*127)
+    # s8->s32 matmul (nibble products <= 225, <= 321 terms per output
+    # column -> max 72,225, no overflow), whose output columns regroup into
+    # 32 base-2^16 columns fed to LimbField.mont_reduce_columns.  X < 5p^2
+    # < p*R keeps the REDC output in [0, 2p) -> one conditional subtract.
+    @staticmethod
+    def _build_mds_nibble_matrix(mds, field) -> jnp.ndarray:
+        t = len(mds)
+        nib_in = 4 * N_LIMBS  # 64 nibbles per 256-bit operand
+        nib_out = 2 * nib_in - 1  # 127 product columns
+        m = np.zeros((t * nib_in, t * nib_out), dtype=np.int8)
+        for i in range(t):
+            for j in range(t):
+                c = mds[i][j] * field.r % field.p  # Montgomery form
+                cn = [(c >> (4 * k)) & 15 for k in range(nib_in)]
+                for mm in range(nib_in):
+                    for l in range(nib_in):
+                        m[j * nib_in + mm, i * nib_out + mm + l] = cn[l]
+        return jnp.asarray(m)
+
+    def _mix_mxu(self, s):
+        """s: (..., T, 16) canonical-limb Montgomery residues -> same."""
+        batch = s.shape[:-2]
+        t = T_WIDTH
+        nib_in = 4 * N_LIMBS
+        nib_out = 2 * nib_in - 1
+        # (…, T, 16) -> (…, T*64) s8 nibbles (little-endian within limbs)
+        nib = jnp.stack([(s >> (4 * r)) & 15 for r in range(4)], axis=-1)
+        v = nib.reshape(batch + (t * nib_in,)).astype(jnp.int8)
+        out = jax.lax.dot_general(
+            v,
+            self._mds_nib,
+            (((v.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (…, T*127)
+        coln = out.reshape(batch + (t, nib_out))
+        coln = jnp.pad(coln, [(0, 0)] * (coln.ndim - 1) + [(0, 1)])  # -> 128
+        # 4 consecutive nibble columns -> one base-2^16 column
+        w = (1 << (4 * jnp.arange(4, dtype=jnp.int32)))
+        cols = (coln.reshape(batch + (t, 2 * N_LIMBS, 4)) * w).sum(-1)
+        return self.f.mont_reduce_columns(cols.astype(jnp.uint32))
 
     # -- permutation ----------------------------------------------------
     def _sbox_full(self, s):
@@ -155,6 +211,8 @@ class PoseidonDevice:
 
     def _mix(self, s):
         """MDS layer: out[i] = sum_j mds[i][j] * s[j].  s: (B, T, 16)."""
+        if self.mxu:
+            return self._mix_mxu(s)
         f = self.f
         # (B, 1, T, 16) * (T, T, 16) -> (B, T, T, 16) then tree-reduce over j.
         prod = f.mul(s[..., None, :, :], self.mds)
@@ -231,5 +289,5 @@ class PoseidonDevice:
 
 
 @functools.cache
-def get_poseidon(field: LimbField = FR) -> PoseidonDevice:
-    return PoseidonDevice(field)
+def get_poseidon(field: LimbField = FR, mxu: bool = False) -> PoseidonDevice:
+    return PoseidonDevice(field, mxu=mxu)
