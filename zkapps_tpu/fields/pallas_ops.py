@@ -1167,6 +1167,13 @@ def paffine_apply_pallas(
     )(_p_one_col(p), ax, ay, occ, pflags, rows, vmask, cp, ichain)
 
 
+# pbatchinv_pallas holds its whole input plus every tree level in one VMEM
+# tile; cap the in-kernel width and fold larger inputs down to it with the
+# gridded pallas mul (strict muls are value-equivalent mod p and their
+# canonical outputs stay inside the kernels' lazy [0,2p) domain).
+BATCHINV_MAX_M = 32768
+
+
 def paffine_step_pallas_auto(field, ax, ay, occ, rows, vmask, pflags, tile: int = AFFINE_TILE):
     """One batch-affine accumulation step = prep -> batchinv -> apply.
 
@@ -1186,9 +1193,21 @@ def paffine_step_pallas_auto(field, ax, ay, occ, rows, vmask, pflags, tile: int 
     if m2 != m:
         pad = jnp.broadcast_to(field.one_mont, (m2 - m, N_LIMBS))
         prods = jnp.concatenate([prods, pad], axis=0)
-    inv = pbatchinv_pallas(prods, field.p, field.n0inv, _INTERPRET)[:m]
+    # outer Montgomery-trick levels (pairing i with i+half, matching the
+    # in-kernel tree) until the root fits the single-tile inverse kernel
+    levels = []
+    while prods.shape[0] > BATCHINV_MAX_M:
+        half = prods.shape[0] // 2
+        levels.append(prods)
+        prods = mul_pallas_auto(field, prods[:half], prods[half:])
+    inv = pbatchinv_pallas(prods, field.p, field.n0inv, _INTERPRET)
+    for lvl in reversed(levels):
+        half = lvl.shape[0] // 2
+        inv_l = mul_pallas_auto(field, inv, lvl[half:])
+        inv_r = mul_pallas_auto(field, inv, lvl[:half])
+        inv = jnp.concatenate([inv_l, inv_r], axis=0)
     return paffine_apply_pallas(
-        ax, ay, occ, pflags, rows, vmask, cp, inv,
+        ax, ay, occ, pflags, rows, vmask, cp, inv[:m],
         field.p, field.n0inv, t, _INTERPRET,
     )
 
