@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -117,7 +118,9 @@ def _tier_widths(full: int, floor: int = 1 << 14) -> list[int]:
     return widths
 
 
-SLAB_R = 8  # addend rows per bucket per kernel step in the sorted scheme
+# addend rows per bucket per kernel step in the sorted scheme (env-tunable
+# for pipeline-level A/B runs on real hardware)
+SLAB_R = int(os.environ.get("ZKTPU_SLAB_R", "8"))
 _BUCKET_SCHEME = "sorted"  # 'sorted' (step-major layout) | 'gather' (per-step row gathers)
 
 # The sorted scheme materializes ~2 step-major copies of 64 B packed rows per
