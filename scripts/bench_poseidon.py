@@ -39,7 +39,10 @@ log_b = int(os.environ.get("LOG_B", "18"))
 iters = int(os.environ.get("ITERS", "3"))
 b = 1 << log_b
 
-set_unroll(False)
+# unrolled straight-line field ops fuse into few kernels on TPU (the looped
+# mode round-trips HBM per limb iteration); scan over rounds keeps the
+# graph small either way
+set_unroll(os.environ.get("ZKTPU_BENCH_UNROLL", "1") == "1")
 dev = jax.devices()[0]
 if dev.platform != "cpu":
     set_backend("pallas")
