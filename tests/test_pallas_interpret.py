@@ -233,3 +233,37 @@ def test_pmadd_pallas_parity():
         else:
             exp = pt.add(qt)
         assert dec[i].to_bytes() == exp.to_bytes(), i
+
+
+@slow
+def test_affine_step_hierarchical_batchinv_parity(monkeypatch):
+    """paffine_step_pallas_auto with OUTER Montgomery-trick tree levels
+    (BATCHINV_MAX_M smaller than the chain-product count) must match the jnp
+    affine_step reference bit-for-bit mod p on every occupied lane."""
+    monkeypatch.setattr(P, "BATCHINV_MAX_M", 256)  # forces 2 outer levels
+    monkeypatch.setattr(P, "AFFINE_G", 2)
+    f = G1_JNP.f
+    n, t = 1024, 512
+    rng = np.random.default_rng(5)
+    vals = [int(rng.integers(0, 2**60)) % f.p for _ in range(2 * n)]
+    ax = f.encode(vals[:n])
+    ay = f.encode(vals[n:])
+    g = G1.generator()
+    pts = G1_JNP.encode([g.mul(i + 2) for i in range(n)])
+    rows = G1_JNP.pack_affine(pts[:, :2])
+    occ = jnp.asarray((rng.random((n,)) < 0.8).astype(np.uint32))
+    vm = jnp.ones((n,), jnp.uint32)
+    pf = jnp.zeros((n,), jnp.uint32)
+    axo, ayo, occo, pfo = P.paffine_step_pallas_auto(
+        f, ax, ay, occ.reshape(n, 1), rows, vm.reshape(n, 1), pf.reshape(n, 1), tile=t
+    )
+    want = G1_JNP.affine_step(ax, ay, occ, rows, vm > 0, pf)  # jnp branch
+    got_occ = np.asarray(occo).reshape(-1)
+    assert (got_occ == np.asarray(want[2]).reshape(-1)).all()
+    m = got_occ > 0
+    assert f.decode(jnp.asarray(np.asarray(axo)[m])) == f.decode(
+        jnp.asarray(np.asarray(want[0])[m])
+    )
+    assert f.decode(jnp.asarray(np.asarray(ayo)[m])) == f.decode(
+        jnp.asarray(np.asarray(want[1])[m])
+    )
